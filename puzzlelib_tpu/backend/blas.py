@@ -1,0 +1,135 @@
+"""BLAS dispatch (reference: /root/reference/Backend/Blas.py)."""
+
+from puzzlelib_tpu import config as Config
+from puzzlelib_tpu.tensor import GPUArray
+from puzzlelib_tpu.ops import blas as _ops
+
+
+toVectorAddVector = None
+addVectorToVector = None
+dot = None
+vectorL1Norm = None
+
+mulMatrixOnMatrix = None
+sumOnMatrix = None
+
+mulTensorOnVecGroup = None
+sumOnTensorGroup = None
+mulTensorBatch = None
+
+
+def autoinit():
+    if not Config.shouldInit():
+        return
+
+    global toVectorAddVector, addVectorToVector, dot, vectorL1Norm
+    toVectorAddVector = _toVectorAddVector
+    addVectorToVector = _addVectorToVector
+    dot = _dot
+    vectorL1Norm = _vectorL1Norm
+
+    global mulMatrixOnMatrix, sumOnMatrix
+    mulMatrixOnMatrix = _mulMatrixOnMatrix
+    sumOnMatrix = _sumOnMatrix
+
+    global mulTensorOnVecGroup, sumOnTensorGroup, mulTensorBatch
+    mulTensorOnVecGroup = _mulTensorOnVecGroup
+    sumOnTensorGroup = _sumOnTensorGroup
+    mulTensorBatch = _mulTensorBatch
+
+
+def _toVectorAddVector(y, x, alpha=1.0):
+    from puzzlelib_tpu.ops import elementwise as _ew
+    y._write(_ew.toVectorAddVector(y.jax, x.jax, alpha))
+    return y
+
+
+def _addVectorToVector(x, y, out=None, alpha=1.0, beta=1.0):
+    result = x.jax * alpha + y.jax * beta
+
+    if out is None:
+        return GPUArray(result)
+
+    out._write(result)
+    return out
+
+
+def _dot(x, y):
+    return GPUArray(_ops.dot(x.jax, y.jax))
+
+
+def _vectorL1Norm(x):
+    return GPUArray(_ops.l1norm(x.jax))
+
+
+def _mulMatrixOnMatrix(A, B, out=None, transpA=False, transpB=False, alpha=1.0, beta=0.0):
+    hasOut = out is not None and beta != 0.0
+    result = _ops.gemm(A.jax, B.jax, out.jax if hasOut else None, alpha, beta,
+                       transpA=transpA, transpB=transpB, hasOut=hasOut)
+
+    if out is None:
+        return GPUArray(result)
+
+    out._write(result)
+    return out
+
+
+def _sumOnMatrix(A, out=None, cols=True, alpha=1.0, beta=0.0):
+    assert A.ndim == 2
+    hasOut = out is not None and beta != 0.0
+
+    result = _ops.matsum(A.jax, 0 if cols else 1, out.jax if hasOut else None, alpha, beta, hasOut=hasOut)
+
+    if out is None:
+        return GPUArray(result)
+
+    out._write(result)
+    return out
+
+
+def _mulTensorOnVecGroup(tensor, vecs, out=None, formatT="bgp", transpT=False, alpha=1.0, beta=0.0):
+    assert tensor.ndim == 3 and formatT == "gbp"
+    axis = 0 if transpT else 1
+    hasOut = out is not None and beta != 0.0
+
+    result = _ops.matvec(tensor.jax, vecs.jax, axis, out.jax if hasOut else None, alpha, beta, hasOut=hasOut)
+
+    if out is None:
+        return GPUArray(result)
+
+    out._write(result)
+    return out
+
+
+def _sumOnTensorGroup(tensor, out=None, formatT="bgp", cols=True, alpha=1.0, beta=0.0):
+    assert tensor.ndim == 3
+    axis = (1 if formatT == "gbp" else 0) if cols else 2
+    hasOut = out is not None and beta != 0.0
+
+    result = _ops.matsum(tensor.jax, axis, out.jax if hasOut else None, alpha, beta, hasOut=hasOut)
+
+    if out is None:
+        return GPUArray(result)
+
+    out._write(result)
+    return out
+
+
+def _mulTensorBatch(A, B, formatA="bgp", formatB="bgp", out=None, formatOut="bgp",
+                    transpA=False, transpB=False, alpha=1.0, beta=0.0):
+    hasOut = out is not None and beta != 0.0
+
+    result = _ops.gemmBatched(
+        A.jax, B.jax, out.jax if hasOut else None, alpha, beta,
+        formatA=formatA, formatB=formatB, formatOut=formatOut,
+        transpA=transpA, transpB=transpB, hasOut=hasOut
+    )
+
+    if out is None:
+        return GPUArray(result)
+
+    out._write(result)
+    return out
+
+
+autoinit()

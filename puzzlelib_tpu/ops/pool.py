@@ -1,0 +1,120 @@
+"""Pooling (max / avg, 1D-3D, NCHW) + max-pool-with-indices and unpool.
+
+cuDNN pooling contract (/root/reference/Cuda/Source/Libs/CuDnnPool.c):
+  * max           - padded cells are -inf, backward routes the gradient to the
+                    argmax cell (one winner per window);
+  * avgWithPad    - mean over the *full* window including padded cells;
+  * avgNoPad      - mean over valid cells only.
+
+Forward uses ``lax.reduce_window`` (VPU-friendly), backward is the VJP of the
+forward so the select-and-scatter lowering matches cuDNN's routing.
+
+MaxPool2D-with-indices (for MaxUnpool2D) mirrors the custom CUDA kernel at
+/root/reference/Cuda/Kernels/Pool.py:117: indices are flat offsets within each
+input map.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+MODE_MAX = "max"
+MODE_AVG_WITH_PAD = "avgWithPad"
+MODE_AVG_NO_PAD = "avgNoPad"
+
+
+def _window(x, size, stride, pad):
+    nd = x.ndim - 2
+    dims = (1, 1) + tuple(size)
+    strides = (1, 1) + tuple(stride)
+    padding = ((0, 0), (0, 0)) + tuple((p, p) for p in pad)
+    return dims, strides, padding, nd
+
+
+def _poolCore(x, size, stride, pad, mode):
+    dims, strides, padding, nd = _window(x, size, stride, pad)
+
+    if mode == MODE_MAX:
+        init = -jnp.inf if x.dtype.kind == "f" else jnp.iinfo(x.dtype).min
+        return lax.reduce_window(x, jnp.asarray(init, x.dtype), lax.max, dims, strides, padding)
+
+    summed = lax.reduce_window(
+        x.astype(jnp.float32), jnp.asarray(0, jnp.float32), lax.add, dims, strides, padding
+    )
+
+    if mode == MODE_AVG_WITH_PAD:
+        count = float(int(jnp.prod(jnp.asarray(size))))
+        return (summed / count).astype(x.dtype)
+
+    ones = jnp.ones(x.shape[2:], jnp.float32)[None, None]
+    counts = lax.reduce_window(ones, jnp.asarray(0, jnp.float32), lax.add, dims, strides, padding)
+    return (summed / counts).astype(x.dtype)
+
+
+@partial(jax.jit, static_argnames=("size", "stride", "pad", "mode"))
+def poolNd(x, size, stride, pad, mode):
+    return _poolCore(x, size, stride, pad, mode)
+
+
+@partial(jax.jit, static_argnames=("size", "stride", "pad", "mode"))
+def poolNdBackward(grad, x, size, stride, pad, mode):
+    _, vjp = jax.vjp(lambda xx: _poolCore(xx, size, stride, pad, mode), x)
+    return vjp(grad)[0]
+
+
+# -- max pool with explicit indices (for MaxUnpool) --------------------------
+
+@partial(jax.jit, static_argnames=("size", "stride", "pad"))
+def maxpool2dWithIndex(x, size, stride, pad):
+    """Max pool returning per-window argmax as flat offsets into each (h, w) map.
+    Ties resolve to the first (lowest-offset) cell, as in the reference kernel."""
+    n, c, h, w = x.shape
+    kh, kw = size
+    sh, sw = stride
+    ph, pw = pad
+
+    neg = jnp.asarray(-jnp.inf if x.dtype.kind == "f" else jnp.iinfo(x.dtype).min, x.dtype)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw)), constant_values=neg)
+
+    patches = lax.conv_general_dilated_patches(
+        xp, filter_shape=(kh, kw), window_strides=(sh, sw), padding=[(0, 0), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )  # (n, c*kh*kw, outh, outw), feature dim ordered (c, kh, kw)
+
+    outh, outw = patches.shape[2], patches.shape[3]
+    patches = patches.reshape(n, c, kh * kw, outh, outw)
+
+    off = jnp.argmax(patches, axis=2).astype(jnp.int32)           # offset within window
+    out = jnp.max(patches, axis=2)
+
+    ohArange = jnp.arange(outh, dtype=jnp.int32).reshape(1, 1, outh, 1)
+    owArange = jnp.arange(outw, dtype=jnp.int32).reshape(1, 1, 1, outw)
+
+    row = ohArange * sh + off // kw - ph
+    col = owArange * sw + off % kw - pw
+    idx = row * w + col
+
+    return out, idx
+
+
+@partial(jax.jit, static_argnames=("inshape", ))
+def maxunpool2d(x, idx, inshape):
+    n, c = x.shape[:2]
+    h, w = inshape[2], inshape[3]
+
+    flat = jnp.zeros((n, c, h * w), x.dtype)
+    flat = flat.at[
+        jnp.arange(n)[:, None, None], jnp.arange(c)[None, :, None], idx.reshape(n, c, -1)
+    ].add(x.reshape(n, c, -1))
+
+    return flat.reshape(n, c, h, w)
+
+
+@partial(jax.jit, static_argnames=())
+def maxunpool2dBackward(grad, idx):
+    n, c = idx.shape[:2]
+    gathered = jnp.take_along_axis(grad.reshape(n, c, -1), idx.reshape(n, c, -1), axis=2)
+    return gathered.reshape(idx.shape)

@@ -241,13 +241,18 @@ def softmaxNdBackward(outdata, grad):
 # -- LRN ---------------------------------------------------------------------
 
 def mapLRN(data, means, N, alpha, beta, K, test=False):
-    assert means is None
-    return GPUArray(_norm.mapLRN(data.jax, int(N), alpha, beta, K)), None
+    if means is None:
+        return GPUArray(_norm.mapLRN(data.jax, int(N), alpha, beta, K)), None
+
+    return GPUArray(_norm.divNorm(data.jax, means.jax, int(N), alpha, beta, K)), None
 
 
 def mapLRNBackward(data, outdata, grad, means, workspace, N, alpha, beta, K):
-    assert means is None
-    return GPUArray(_norm.mapLRNBackward(data.jax, grad.jax, int(N), alpha, beta, K))
+    if means is None:
+        return GPUArray(_norm.mapLRNBackward(data.jax, grad.jax, int(N), alpha, beta, K))
+
+    dx, dmeans = _norm.divNormBackward(data.jax, means.jax, grad.jax, int(N), alpha, beta, K)
+    return GPUArray(dx), GPUArray(dmeans)
 
 
 def crossMapLRN(data, N, alpha, beta, K, test=False):
@@ -282,6 +287,10 @@ def instanceNorm2dBackward(grad, data, extscale, savemean, saveinvvar, epsilon, 
 def spatialTf(data, transform, outshape, getGrid):
     from puzzlelib_tpu.ops import spatialtf as _stf
     outdata, grid = _stf.spatialTf(data.jax, transform.jax, outshape)
+
+    if not getGrid:
+        return GPUArray(outdata)
+
     return GPUArray(outdata), GPUArray(grid)
 
 
@@ -300,12 +309,16 @@ def deviceSupportsBatchHint():
 
 def createRnn(insize, hsize, layers, mode, direction, dropout=0.0, seed=0, batchsize=None):
     from puzzlelib_tpu.backend import rnn as _rnn
-    return _rnn.createRnn(insize, hsize, layers, mode, direction, dropout, seed, batchsize)
+
+    rnn, W, params = _rnn.createRnn(insize, hsize, layers, mode, direction, dropout, seed, batchsize)
+    return rnn, W, {i: layer for i, layer in enumerate(params)}
 
 
 def acquireRnnParams(descRnn, w):
     from puzzlelib_tpu.backend import rnn as _rnn
-    return _rnn.acquireRnnParams(descRnn, w)
+
+    params = _rnn.acquireRnnParams(descRnn, w)
+    return w, {i: layer for i, layer in enumerate(params)}
 
 
 def updateRnnParams(descRnn, w, params):

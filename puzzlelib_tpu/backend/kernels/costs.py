@@ -28,28 +28,28 @@ def svmKernel(scores, labels, mode="l1", error=None):
     return error, GPUArray(grad)
 
 
-def _bceKer(scores, labels, error, grad):
+def bceKer(scores, labels, error, grad, numsamples=None, spatialDim=None):
     err, g = _cost.bce(scores.jax, labels.jax)
     error._write(error.jax + err)
     grad._write(g)
     return error, grad
 
 
-def _hingeKer(scores, labels, error, grad):
+def hingeKer(scores, labels, error, grad, numsamples=None, numcases=None):
     err, g = _cost.hinge(scores.jax, labels.jax)
     error._write(error.jax + err)
     grad._write(g)
     return error, grad
 
 
-def _smoothL1Ker(pred, target, error, grad, norm, fullnorm):
+def smoothL1Ker(pred, target, error, grad, norm, fullnorm):
     err, g = _cost.smoothL1(pred.jax, target.jax, norm, fullnorm)
     error._write(error.jax + err)
     grad._write(g)
     return error, grad
 
 
-def _l1HingeKer(x1, x2, labels, error, g1, g2):
+def l1HingeKer(x1, x2, labels, error, g1, g2, numsamples=None, numcases=None):
     err, grad1, grad2 = _cost.l1Hinge(x1.jax, x2.jax, labels.jax)
     error._write(error.jax + err)
     g1._write(grad1)
@@ -57,29 +57,41 @@ def _l1HingeKer(x1, x2, labels, error, g1, g2):
     return error, g1, g2
 
 
-def bceKer(dtype):
-    return _bceKer
-
-
-def hingeKer(dtype):
-    return _hingeKer
-
-
-def smoothL1Ker(dtype):
-    return _smoothL1Ker
-
-
-def l1HingeKer(dtype):
-    return _l1HingeKer
-
-
 def _calcAccuracy(pred, labels, allocator=None):
     return GPUArray(_cost.accuracy(pred.jax, labels.jax))
 
 
+def _calcBCEAccuracy(scores, labels, allocator=None):
+    import jax.numpy as jnp
+    x, y = scores.jax, labels.jax
+    wrong = jnp.where(y == 1, x <= 0.0, x > 0.0)
+    return GPUArray(jnp.sum(wrong).astype(jnp.float32))
+
+
+def _l1HingeAccuracy(dist, labels, allocator=None):
+    import jax.numpy as jnp
+    d, y = dist.jax, labels.jax
+    wrong = (d <= 1.0) != (y.astype(bool))
+    return GPUArray(jnp.sum(wrong).astype(jnp.float32))
+
+
+def _klDivergence(softmax, target, grad, gradnorm, allocator=None):
+    import jax.numpy as jnp
+    x, y = softmax.jax.astype(jnp.float32), target.jax.astype(jnp.float32)
+
+    grad._write(((y - x) * gradnorm).reshape(grad.shape).astype(grad.dtype))
+
+    err = jnp.sum(jnp.where(y > 0.0, y * (jnp.log(jnp.maximum(y, 1e-38)) - jnp.log(jnp.maximum(x, 1e-38))), 0.0))
+    return GPUArray(err)
+
+
 def getAccuracyKernel(name):
-    assert name == "calcAccuracy"
-    return _calcAccuracy
+    return {
+        "calcAccuracy": _calcAccuracy,
+        "calcBCEAccuracy": _calcBCEAccuracy,
+        "l1HingeAccuracy": _l1HingeAccuracy,
+        "klDivergence": _klDivergence,
+    }[name]
 
 
 def ctcLoss(data, datalen, labels, lengths, blank, error=None, normalized=False):

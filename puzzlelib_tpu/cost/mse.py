@@ -1,0 +1,31 @@
+"""Mean squared error cost (reference: /root/reference/Cost/MSE.py)."""
+
+import numpy as np
+
+from puzzlelib_tpu.backend import blas as Blas
+from puzzlelib_tpu.cost.cost import Cost
+
+
+class MSE(Cost):
+    def calcGrad(self, pred, target):
+        c = 1.0 / np.prod(target.shape)
+        grad = Blas.addVectorToVector(target.ravel(), pred.ravel(), alpha=c, beta=-c)
+
+        return grad.reshape(pred.shape)
+
+    def calcError(self, pred, target):
+        self.devErr.fill(
+            Blas.dot(self.grad.ravel(), self.grad.ravel()).get() * np.prod(self.grad.shape)
+            * self.grad.shape[0] / 2.0
+        )
+        self.accumErr += self.devErr
+
+    def calcVal(self, pred, target):
+        diff = Blas.addVectorToVector(target.ravel(), pred.ravel(), alpha=1.0, beta=-1.0)
+        return Blas.dot(diff, diff).get() / (2.0 * np.prod(target.shape))
+
+    def checkDataShape(self, pred, target):
+        assert pred.shape[1:] == target.shape[1:]
+
+    def checkValDataShape(self, pred, target):
+        assert pred.shape[1:] == target.shape[1:]

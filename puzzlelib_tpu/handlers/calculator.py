@@ -1,0 +1,55 @@
+"""Batched inference handler with host/device result assembly
+(reference: /root/reference/Handlers/Calculator.py)."""
+
+import numpy as np
+
+from puzzlelib_tpu.backend import gpuarray
+from puzzlelib_tpu.handlers.handler import Handler
+
+
+class Calculator(Handler):
+    def calcFromHost(self, data, macroBatchSize=10000, onMacroBatchFinish=None):
+        state = {"hostSize": self.getDataSize(data)}
+
+        self.module.evalMode()
+        self.handleFromHost(data, state, macroBatchSize, onMacroBatchFinish, random=False)
+
+        return state["hostData"]
+
+    def calc(self, data):
+        state = {"devSize": self.getDataSize(data)}
+
+        self.module.evalMode()
+        self.handle(data, state, random=False)
+
+        return state["devData"]
+
+    def onMacroBatchStart(self, idx, macroBatchSize, state):
+        state["devSize"] = macroBatchSize
+
+    def onMacroBatchFinish(self, idx, macroBatchSize, state):
+        if "hostData" not in state:
+            def reserveHostData(data):
+                return np.empty((state["hostSize"], ) + data.shape[1:], dtype=data.dtype)
+
+            state["hostData"] = self.parseShapeTree(state["devData"], onData=reserveHostData)
+
+        def copyHostData(indata, outdata):
+            outdata[idx * macroBatchSize:(idx + 1) * macroBatchSize] = indata.get()
+
+        self.parseShapeTree(state["devData"], copyHostData, state["hostData"])
+        del state["devData"]
+
+    def handleBatch(self, batch, idx, state):
+        outBatch = self.module(batch)
+
+        if "devData" not in state:
+            def reserveDevData(data):
+                return gpuarray.empty((state["devSize"], ) + data.shape[1:], dtype=data.dtype)
+
+            state["devData"] = self.parseShapeTree(outBatch, onData=reserveDevData)
+
+        def copyDevData(indata, outdata):
+            gpuarray.copy(outdata[idx * self.batchsize:(idx + 1) * self.batchsize], indata)
+
+        self.parseShapeTree(outBatch, copyDevData, state["devData"])

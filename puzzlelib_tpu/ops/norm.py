@@ -16,6 +16,8 @@ Contracts follow the cuDNN bindings the reference dispatches to
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -141,7 +143,7 @@ def _crossMapSum(sq, N):
     padded = jnp.pad(sq, ((0, 0), (half, N - 1 - half)) + ((0, 0), ) * (sq.ndim - 2))
 
     dims = (1, N) + (1, ) * (sq.ndim - 2)
-    return lax.reduce_window(padded, jnp.asarray(0, sq.dtype), lax.add, dims, (1, ) * sq.ndim,
+    return lax.reduce_window(padded, np.zeros((), sq.dtype), lax.add, dims, (1, ) * sq.ndim,
                              ((0, 0), ) * sq.ndim)
 
 
@@ -172,7 +174,7 @@ def _mapLRNCore(x, N, alpha, beta, K):
     padded = jnp.pad(xf * xf, pads)
 
     dims = (1, 1) + (N, ) * (x.ndim - 2)
-    s = lax.reduce_window(padded, jnp.asarray(0, jnp.float32), lax.add, dims, (1, ) * x.ndim,
+    s = lax.reduce_window(padded, np.float32(0), lax.add, dims, (1, ) * x.ndim,
                           ((0, 0), ) * x.ndim)
 
     denom = (K + alpha / (N ** (x.ndim - 2)) * s) ** beta
@@ -188,3 +190,35 @@ def mapLRN(x, N, alpha, beta, K):
 def mapLRNBackward(x, grad, N, alpha, beta, K):
     _, vjp = jax.vjp(lambda xx: _mapLRNCore(xx, N, alpha, beta, K), x)
     return vjp(grad)[0]
+
+
+# -- divisive normalization (LCN core) ---------------------------------------
+
+def _divNormCore(x, means, N, alpha, beta, K):
+    """Local contrast normalization: u = x - means, y = u / (K + alpha/n *
+    window_sum(u^2))^beta over an N x N spatial window (cuDNN
+    DivisiveNormalization with precomputed means; reference use:
+    /root/reference/Modules/LCN.py)."""
+    xf = x.astype(jnp.float32)
+    u = xf - means.astype(jnp.float32)
+
+    half = N // 2
+    pads = ((0, 0), (0, 0)) + ((half, N - 1 - half), ) * (x.ndim - 2)
+    padded = jnp.pad(u * u, pads)
+
+    dims = (1, 1) + (N, ) * (x.ndim - 2)
+    s = lax.reduce_window(padded, np.float32(0), lax.add, dims, (1, ) * x.ndim, ((0, 0), ) * x.ndim)
+
+    denom = (K + alpha / (N ** (x.ndim - 2)) * s) ** beta
+    return (u / denom).astype(x.dtype)
+
+
+@partial(jax.jit, static_argnames=("N", ))
+def divNorm(x, means, N, alpha, beta, K):
+    return _divNormCore(x, means, N, alpha, beta, K)
+
+
+@partial(jax.jit, static_argnames=("N", ))
+def divNormBackward(x, means, grad, N, alpha, beta, K):
+    _, vjp = jax.vjp(lambda xx, mm: _divNormCore(xx, mm, N, alpha, beta, K), x, means)
+    return vjp(grad)

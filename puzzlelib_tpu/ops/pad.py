@@ -8,9 +8,8 @@ import jax.numpy as jnp
 
 
 def _reflectCore(x, pad):
-    nd = x.ndim - 2
-    pads = ((0, 0), (0, 0)) + tuple((pad[i], pad[i]) for i in range(nd)) \
-        if len(pad) == nd else ((0, 0), (0, 0)) + tuple(pad)
+    # pad is a tuple of per-spatial-axis (lo, hi) pairs
+    pads = ((0, 0), (0, 0)) + tuple(tuple(p) for p in pad)
     return jnp.pad(x, pads, mode="reflect")
 
 

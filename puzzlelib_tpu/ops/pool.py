@@ -16,6 +16,8 @@ input map.
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -38,19 +40,19 @@ def _poolCore(x, size, stride, pad, mode):
     dims, strides, padding, nd = _window(x, size, stride, pad)
 
     if mode == MODE_MAX:
-        init = -jnp.inf if x.dtype.kind == "f" else jnp.iinfo(x.dtype).min
-        return lax.reduce_window(x, jnp.asarray(init, x.dtype), lax.max, dims, strides, padding)
+        init = np.array(-np.inf if x.dtype.kind == "f" else np.iinfo(x.dtype).min, x.dtype)
+        return lax.reduce_window(x, init, lax.max, dims, strides, padding)
 
     summed = lax.reduce_window(
-        x.astype(jnp.float32), jnp.asarray(0, jnp.float32), lax.add, dims, strides, padding
+        x.astype(jnp.float32), np.float32(0), lax.add, dims, strides, padding
     )
 
     if mode == MODE_AVG_WITH_PAD:
-        count = float(int(jnp.prod(jnp.asarray(size))))
+        count = float(np.prod(size))
         return (summed / count).astype(x.dtype)
 
     ones = jnp.ones(x.shape[2:], jnp.float32)[None, None]
-    counts = lax.reduce_window(ones, jnp.asarray(0, jnp.float32), lax.add, dims, strides, padding)
+    counts = lax.reduce_window(ones, np.float32(0), lax.add, dims, strides, padding)
     return (summed / counts).astype(x.dtype)
 
 

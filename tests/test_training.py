@@ -1,0 +1,171 @@
+import numpy as np
+import pytest
+
+from puzzlelib_tpu.backend import gpuarray
+from puzzlelib_tpu.containers import Sequential, Parallel, Graph
+from puzzlelib_tpu.modules import (
+    Conv2D, MaxPool2D, Activation, relu, sigmoid, Flatten, Linear, BatchNorm2D, Dropout, SoftMax,
+    Replicate, Concat, Identity
+)
+from puzzlelib_tpu.cost import CrossEntropy, MSE
+from puzzlelib_tpu.optimizers import MomentumSGD, Adam, SGD, NesterovSGD
+from puzzlelib_tpu.handlers import Trainer, Validator, Calculator
+
+
+def buildLenet():
+    seq = Sequential()
+    seq.append(Conv2D(1, 4, 3))
+    seq.append(MaxPool2D())
+    seq.append(Activation(relu))
+    seq.append(Flatten())
+    seq.append(Linear(4 * 5 * 5, 10))
+    return seq
+
+
+def testSequentialForwardBackward():
+    np.random.seed(0)
+    seq = buildLenet()
+
+    data = gpuarray.to_gpu(np.random.randn(4, 1, 12, 12).astype(np.float32))
+    out = seq(data)
+    assert out.shape == (4, 10)
+
+    grad = gpuarray.to_gpu(np.random.randn(4, 10).astype(np.float32))
+    seq.backward(grad)
+    assert seq.grad.shape == data.shape
+
+
+def testTrainerLowersLoss():
+    np.random.seed(1)
+    seq = buildLenet()
+
+    data = np.random.randn(64, 1, 12, 12).astype(np.float32)
+    labels = np.random.randint(0, 10, size=(64, )).astype(np.int32)
+
+    cost = CrossEntropy()
+    optimizer = MomentumSGD(learnRate=0.05, momRate=0.9)
+    optimizer.setupOn(seq, useGlobalState=True)
+
+    trainer = Trainer(seq, cost, optimizer, batchsize=16)
+
+    errors = []
+    for epoch in range(15):
+        trainer.train(
+            gpuarray.to_gpu(data), gpuarray.to_gpu(labels), random=False
+        )
+        errors.append(cost.getMeanError())
+
+    assert errors[-1] < errors[0] * 0.5, "loss did not decrease: %s" % errors
+
+
+def testGlobalStateSharedViews():
+    np.random.seed(2)
+    seq = Sequential()
+    seq.append(Linear(8, 4))
+    seq.append(Activation(sigmoid))
+    seq.append(Linear(4, 2))
+
+    optimizer = SGD(learnRate=0.1)
+    optimizer.setupOn(seq, useGlobalState=True)
+
+    # after setup, the module vars are views of the fused buffers
+    w0Before = seq[0].W.get().copy()
+
+    data = gpuarray.to_gpu(np.random.randn(4, 8).astype(np.float32))
+    target = gpuarray.to_gpu(np.random.randn(4, 2).astype(np.float32))
+
+    mse = MSE()
+    _, grad = mse(seq(data), target)
+
+    optimizer.zeroGradParams()
+    seq.backward(grad)
+    optimizer.update()
+
+    assert not np.allclose(seq[0].W.get(), w0Before), "update did not reach the shared view"
+
+
+@pytest.mark.parametrize("optCls,kwargs", [
+    (Adam, dict(alpha=0.05)),
+    (NesterovSGD, dict(learnRate=0.05, momRate=0.9)),
+])
+def testOptimizersConverge(optCls, kwargs):
+    np.random.seed(3)
+
+    seq = Sequential()
+    seq.append(Linear(16, 8, useBias=False))
+    seq.append(Activation(relu))
+    seq.append(Linear(8, 4))
+
+    optimizer = optCls(**kwargs)
+    optimizer.setupOn(seq, useGlobalState=True)
+
+    mse = MSE()
+
+    data = gpuarray.to_gpu(np.random.randn(8, 16).astype(np.float32))
+    target = gpuarray.to_gpu(np.random.randn(8, 4).astype(np.float32))
+
+    first = None
+    for i in range(60):
+        error, grad = mse(seq(data), target)
+
+        optimizer.zeroGradParams()
+        seq.backward(grad)
+        optimizer.update()
+
+        if first is None:
+            first = error
+
+    assert error < first * 0.5
+
+
+def testValidatorCalculator():
+    np.random.seed(4)
+    seq = buildLenet()
+
+    data = np.random.randn(32, 1, 12, 12).astype(np.float32)
+    labels = np.random.randint(0, 10, size=(32, )).astype(np.int32)
+
+    cost = CrossEntropy()
+    validator = Validator(seq, cost, batchsize=16)
+    err = validator.validateFromHost(data, labels, macroBatchSize=32)
+    assert 0.0 <= err <= 1.0
+
+    calculator = Calculator(seq, batchsize=16)
+    result = calculator.calcFromHost(data, macroBatchSize=32)
+    assert result.shape == (32, 10)
+
+
+def testGraphMatchesSequentialAndParallel():
+    np.random.seed(5)
+
+    def branchedNetData():
+        # implicit fan-out: inlin feeds both branches, gradient fan-in sums
+        inp = Linear(6, 6, name="inlin").node()
+
+        b1 = Linear(6, 3, name="b1").node(inp)
+        b2 = Linear(6, 3, name="b2").node(inp)
+
+        cat = Concat(axis=1, name="cat").node(b1, b2)
+        return Graph(inputs=inp, outputs=cat)
+
+    graph = branchedNetData()
+
+    data = gpuarray.to_gpu(np.random.randn(4, 6).astype(np.float32))
+    out = graph(data)
+    assert out.shape == (4, 6)
+
+    grad = gpuarray.to_gpu(np.random.randn(4, 6).astype(np.float32))
+    graph.backward(grad)
+    assert graph.grad.shape == (4, 6)
+
+    # oracle: same weights, hand-computed forward
+    W0 = graph["inlin"].W.get()
+    b0 = graph["inlin"].b.get()
+    w1, bb1 = graph["b1"].W.get(), graph["b1"].b.get()
+    w2, bb2 = graph["b2"].W.get(), graph["b2"].b.get()
+
+    # note: optimizer update did not run, so weights are the init ones
+    hidden = data.get() @ W0 + b0
+    expected = np.concatenate([hidden @ w1 + bb1, hidden @ w2 + bb2], axis=1)
+
+    assert np.allclose(out.get(), expected, atol=1e-4)

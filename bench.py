@@ -1,0 +1,111 @@
+"""Headline benchmark: LeNet-class CNN training throughput on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no absolute numbers (see BASELINE.md), so
+``vs_baseline`` reports the speedup of the fused single-executable train step
+over the eager per-op dispatch path (the reference's execution model) measured
+on the same hardware in the same process.
+"""
+
+import os
+import sys
+import json
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def buildNet():
+    from puzzlelib_tpu.containers import Sequential
+    from puzzlelib_tpu.modules import Conv2D, MaxPool2D, Activation, relu, Flatten, Linear
+
+    # reference LeNet topology (/root/reference/Models/Nets/LeNet.py)
+    net = Sequential(name="lenet")
+    net.append(Conv2D(1, 16, 3))
+    net.append(MaxPool2D())
+    net.append(Activation(relu))
+
+    net.append(Conv2D(16, 32, 4))
+    net.append(MaxPool2D())
+    net.append(Activation(relu))
+
+    net.append(Flatten())
+    net.append(Linear(32 * 5 * 5, 1024))
+    net.append(Activation(relu))
+
+    net.append(Linear(1024, 10))
+
+    return net
+
+
+def timeSteps(stepFn, sync, warmup=5, iters=30):
+    for _ in range(warmup):
+        stepFn()
+    sync()
+
+    start = time.perf_counter()
+    for _ in range(iters):
+        stepFn()
+    sync()
+
+    return (time.perf_counter() - start) / iters
+
+
+def main():
+    import jax
+
+    from puzzlelib_tpu.backend import gpuarray
+    from puzzlelib_tpu.cost import CrossEntropy
+    from puzzlelib_tpu.optimizers import MomentumSGD
+    from puzzlelib_tpu.fused import FusedStep
+
+    np.random.seed(0)
+    batch = 128
+
+    data = np.random.randn(batch, 1, 28, 28).astype(np.float32)
+    labels = np.random.randint(0, 10, size=(batch, )).astype(np.int32)
+
+    # -- fused path ----------------------------------------------------------
+    net = buildNet()
+    optimizer = MomentumSGD(learnRate=0.01, momRate=0.9)
+    optimizer.setupOn(net, useGlobalState=True)
+    cost = CrossEntropy()
+
+    step = FusedStep(net, cost, optimizer)
+    dataDev, labelsDev = gpuarray.to_gpu(data), gpuarray.to_gpu(labels)
+
+    fusedSec = timeSteps(
+        lambda: step(dataDev, labelsDev),
+        lambda: jax.block_until_ready(step.buffers[0].jax),
+    )
+
+    # -- eager (reference-style per-op dispatch) baseline --------------------
+    netE = buildNet()
+    optE = MomentumSGD(learnRate=0.01, momRate=0.9)
+    optE.setupOn(netE, useGlobalState=True)
+    costE = CrossEntropy()
+
+    def eagerStep():
+        grad = costE(netE(dataDev), labelsDev, queryError=False)
+        optE.zeroGradParams()
+        netE.backward(grad, updGrad=False)
+        optE.update()
+        netE.reset()
+
+    eagerSec = timeSteps(eagerStep, lambda: jax.block_until_ready(netE[0].W.jax), warmup=3, iters=10)
+
+    imagesPerSec = batch / fusedSec
+
+    print(json.dumps({
+        "metric": "lenet_train_images_per_sec",
+        "value": round(imagesPerSec, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(eagerSec / fusedSec, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

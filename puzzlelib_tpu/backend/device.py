@@ -22,7 +22,9 @@ def ensureInit():
 
     import jax
 
-    if Config.backend == Config.Backend.cpu and "JAX_PLATFORMS" not in os.environ:
+    if Config.backend == Config.Backend.cpu:
+        # must override via config (not env): the axon TPU plugin's
+        # sitecustomize forces jax_platforms="axon,cpu" at interpreter start
         try:
             jax.config.update("jax_platforms", "cpu")
         except RuntimeError:

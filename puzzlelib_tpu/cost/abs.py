@@ -19,7 +19,7 @@ class Abs(Cost):
 
     def calcError(self, pred, target):
         diff = Blas.addVectorToVector(pred.ravel(), target.ravel(), alpha=1.0, beta=-1.0)
-        self.devErr.fill(Blas.vectorL1Norm(diff).get() / np.prod(pred.shape[1:]))
+        self.devErr._write(Blas.vectorL1Norm(diff).jax / np.prod(pred.shape[1:]))
         self.accumErr += self.devErr
 
     def calcVal(self, pred, target):

@@ -14,10 +14,8 @@ class MSE(Cost):
         return grad.reshape(pred.shape)
 
     def calcError(self, pred, target):
-        self.devErr.fill(
-            Blas.dot(self.grad.ravel(), self.grad.ravel()).get() * np.prod(self.grad.shape)
-            * self.grad.shape[0] / 2.0
-        )
+        dot = Blas.dot(self.grad.ravel(), self.grad.ravel())
+        self.devErr._write(dot.jax * (np.prod(self.grad.shape) * self.grad.shape[0] / 2.0))
         self.accumErr += self.devErr
 
     def calcVal(self, pred, target):

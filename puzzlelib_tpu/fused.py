@@ -1,0 +1,203 @@
+"""Fused training: trace the whole eager train step into one XLA executable.
+
+The eager object layer (Modules -> backend -> ops) dispatches one XLA op per
+kernel - cheap on CUDA, expensive as separate executables on TPU.  Because
+every op is functionally pure over rebindable GPUArray buffers, the *entire*
+reference train step
+
+    grad = cost(module(data), target); zeroGrad; module.backward(grad);
+    optimizer.update()
+
+can be traced once with tracer-substituted buffers and compiled by XLA into a
+single fused program (forward + backward + fused optimizer update + loss
+accumulation), with input buffers donated so parameters update in place in
+HBM.  No per-module changes are needed; the module tree *is* the program.
+
+This is the TPU answer to the reference's eager hot loop
+(/root/reference/Handlers/Trainer.py:28 + hand-fused CUDA kernels): instead of
+per-layer kernel launches, one compiled step per (shape, dtype) signature.
+
+Python-side counters (cost.numOfSamples, optimizer.t, BN.numOfProps) advance
+in the eager wrapper; traced equivalents flow through ``fusedctx``.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from puzzlelib_tpu import fusedctx
+from puzzlelib_tpu.tensor import GPUArray, _View
+from puzzlelib_tpu.containers.container import Container
+
+
+def _rootBuffer(ary):
+    while isinstance(ary, _View):
+        ary = ary._base
+
+    return ary
+
+
+def collectStateBuffers(module, cost=None, optimizer=None):
+    """Unique root GPUArray buffers whose contents the train step mutates."""
+    seen, roots = set(), []
+
+    def add(ary):
+        if not isinstance(ary, GPUArray):
+            return
+
+        root = _rootBuffer(ary)
+        if id(root) not in seen:
+            seen.add(id(root))
+            roots.append(root)
+
+    def walkModule(mod):
+        for var in mod.vars.values():
+            add(var.data)
+            if var.grad is not None:
+                add(var.grad)
+
+        for attr in mod.attrs.values():
+            add(attr)
+
+        if isinstance(mod, Container):
+            for child in mod.modules.values():
+                walkModule(child)
+
+    walkModule(module)
+
+    if optimizer is not None:
+        for state in optimizer.states.values():
+            for entity in state.values():
+                add(entity)
+
+        for globalVar in optimizer.globalVar.values():
+            add(globalVar.data)
+            add(globalVar.grad)
+
+    if cost is not None:
+        add(cost.devErr)
+        add(cost.accumErr)
+
+    return roots
+
+
+class FusedStep:
+    """Compile (module, cost, optimizer) into a single jitted train step.
+
+    Call with host or device arrays; parameters/optimizer state update in
+    place (donated buffers).  Retraces only when input shapes change.
+    """
+
+    def __init__(self, module, cost, optimizer, donate=True, mesh=None, dataAxis="data"):
+        self.module = module
+        self.cost = cost
+        self.optimizer = optimizer
+
+        self.buffers = collectStateBuffers(module, cost, optimizer)
+
+        jitKwargs = dict(donate_argnums=(0, ) if donate else ())
+
+        if mesh is not None:
+            # GSPMD data parallelism: batch dim sharded over the mesh axis,
+            # parameters/optimizer state replicated - XLA inserts the gradient
+            # all-reduce over ICI automatically.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            batchSharded = NamedSharding(mesh, P(dataAxis))
+
+            stateSpec = [repl] * len(self.buffers)
+            hyperSpec = {}
+
+            jitKwargs["in_shardings"] = (stateSpec, None, repl, repl, batchSharded, batchSharded)
+            jitKwargs["out_shardings"] = stateSpec
+
+        self.mesh = mesh
+        self._jitted = jax.jit(self._traceStep, **jitKwargs)
+        self._seed = int(np.random.randint(1 << 31))
+        self._calls = 0
+
+    def _hyper(self):
+        hyper = {}
+        for name in self.optimizer.attrs:
+            val = getattr(self.optimizer, name)
+            if name != "t" and isinstance(val, (int, float)):
+                hyper[name] = float(val)
+
+        return hyper
+
+    def _traceStep(self, state, hyper, t, key, data, target):
+        # substitute traced buffers into the live wrappers
+        for buf, arr in zip(self.buffers, state):
+            buf._write(arr)
+
+        # optimizer hyper-parameters become traced values for the duration
+        snapshot = {name: getattr(self.optimizer, name) for name in hyper}
+        for name, val in hyper.items():
+            setattr(self.optimizer, name, val)
+
+        costCounters = (self.cost.batchsize, self.cost.numOfSamples)
+        optT = self.optimizer.t
+
+        try:
+            with fusedctx.activate(hyper, t, key):
+                grad = self.cost(self.module(GPUArray(data)), GPUArray(target), queryError=False)
+
+                self.optimizer.zeroGradParams()
+                self.module.backward(grad, updGrad=False)
+                self.optimizer.update()
+
+        finally:
+            for name, val in snapshot.items():
+                setattr(self.optimizer, name, val)
+
+            self.cost.batchsize, self.cost.numOfSamples = costCounters
+            self.optimizer.t = optT
+
+        return [buf.jax for buf in self.buffers]
+
+    def __call__(self, data, target):
+        data = data.jax if isinstance(data, GPUArray) else jnp.asarray(data)
+        target = target.jax if isinstance(target, GPUArray) else jnp.asarray(target)
+
+        self._calls += 1
+
+        # python-side counters advance exactly as in the eager path
+        self.optimizer.t += 1
+        self.cost.reset()
+        self.cost.dirty = True
+        self.cost.updateState(int(data.shape[0]))
+
+        state = [buf.jax for buf in self.buffers]
+        hyper = self._hyper()
+
+        key = jax.random.fold_in(jax.random.key(self._seed), self._calls)
+
+        out = self._jitted(state, hyper, jnp.asarray(self.optimizer.t, jnp.float32), key, data, target)
+
+        for buf, arr in zip(self.buffers, out):
+            buf._write(arr)
+
+        self.module.reset()
+        return self.cost
+
+
+from puzzlelib_tpu.handlers.trainer import Trainer
+
+
+class FusedTrainer(Trainer):
+    """Drop-in Trainer running the single-executable fused step."""
+
+    def __init__(self, mod, cost, optimizer, onBatchFinish=None, batchsize=128):
+        super().__init__(mod, cost, optimizer, onBatchFinish, batchsize)
+        self.step = None
+
+    def handleBatch(self, batch, idx, state):
+        data, target = batch
+
+        if self.step is None:
+            self.step = FusedStep(self.module, self.cost, self.optimizer)
+
+        self.step(data, target)

@@ -47,8 +47,14 @@ class BatchNormND(Module):
             if self.inplace:
                 raise ModuleError("%s: using inplace flag in train mode is prohibited" % self)
 
-            self.numOfProps += 1
-            factor = max(self.initFactor / self.numOfProps, self.minFactor)
+            from puzzlelib_tpu import fusedctx
+
+            if fusedctx.active():
+                import jax.numpy as jnp
+                factor = jnp.maximum(self.initFactor / fusedctx.stepOr(1), self.minFactor)
+            else:
+                self.numOfProps += 1
+                factor = max(self.initFactor / self.numOfProps, self.minFactor)
 
             self.data, self.savemean, self.saveinvvar = batchNormNd(
                 data, self.scale, self.bias, self.mean, self.var, self.epsilon, factor, False

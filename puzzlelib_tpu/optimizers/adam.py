@@ -30,8 +30,17 @@ class Adam(Optimizer):
         }
 
     def updateVar(self, var, state, stream=None):
-        fix1, fix2 = 1.0 - self.beta1 ** self.t, 1.0 - self.beta2 ** self.t
-        self.learnRate = self.alpha * math.sqrt(fix2) / fix1
+        from puzzlelib_tpu import fusedctx
+
+        t = fusedctx.stepOr(self.t)
+
+        if fusedctx.active():
+            import jax.numpy as jnp
+            fix1, fix2 = 1.0 - self.beta1 ** t, 1.0 - self.beta2 ** t
+            self.learnRate = self.alpha * jnp.sqrt(fix2) / fix1
+        else:
+            fix1, fix2 = 1.0 - self.beta1 ** t, 1.0 - self.beta2 ** t
+            self.learnRate = self.alpha * math.sqrt(fix2) / fix1
 
         fix1, fix2 = 1.0 - self.beta1, 1.0 - self.beta2
 

@@ -23,6 +23,11 @@ class RandomNumberGenerator:
         self._seed, self._key = seed, None
 
     def nextKey(self):
+        from puzzlelib_tpu import fusedctx
+
+        if fusedctx.active():
+            return fusedctx.nextKey()
+
         if self._key is None:
             self._key = jax.random.key(self._seed)
 

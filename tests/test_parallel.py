@@ -1,0 +1,122 @@
+import numpy as np
+
+from puzzlelib_tpu.backend import gpuarray
+
+
+def testGridMeanValueAndSumTensor():
+    from puzzlelib_tpu.grid import runGrid
+
+    results = {}
+
+    def target(nodeinfo):
+        v = nodeinfo.meanValue(float(nodeinfo.index))
+        results[("mean", nodeinfo.index)] = v
+
+        t = gpuarray.to_gpu(np.full((4, ), float(nodeinfo.index + 1), np.float32))
+        nodeinfo.sumTensor("grad", t)
+        results[("tensor", nodeinfo.index)] = t.get()
+
+    runGrid(target, 4)
+
+    for i in range(4):
+        assert results[("mean", i)] == 1.5
+        assert np.allclose(results[("tensor", i)], 2.5)
+
+
+def testGridDataParallelTraining():
+    """Reference MultiGPU pattern: Optimizer(nodeinfo=...) with global state."""
+    from puzzlelib_tpu.grid import runGrid
+    from puzzlelib_tpu.containers import Sequential
+    from puzzlelib_tpu.modules import Linear, Activation, relu
+    from puzzlelib_tpu.cost import MSE
+    from puzzlelib_tpu.optimizers import MomentumSGD
+
+    np.random.seed(0)
+    fullData = np.random.randn(16, 8).astype(np.float32)
+    fullTarget = np.random.randn(16, 4).astype(np.float32)
+
+    finalWeights = {}
+    errors = {}
+
+    def train(nodeinfo):
+        np.random.seed(42)  # identical init on every node
+
+        seq = Sequential()
+        seq.append(Linear(8, 6))
+        seq.append(Activation(relu))
+        seq.append(Linear(6, 4))
+
+        optimizer = MomentumSGD(learnRate=0.05, nodeinfo=nodeinfo)
+        optimizer.setupOn(seq, useGlobalState=True)
+
+        shard = slice(nodeinfo.index * 8, (nodeinfo.index + 1) * 8)
+        data = gpuarray.to_gpu(fullData[shard])
+        target = gpuarray.to_gpu(fullTarget[shard])
+
+        mse = MSE()
+
+        for i in range(5):
+            error, grad = mse(seq(data), target)
+
+            optimizer.zeroGradParams()
+            seq.backward(grad)
+            optimizer.update()
+
+        errors[nodeinfo.index] = nodeinfo.meanValue(error)
+        finalWeights[nodeinfo.index] = seq[0].W.get()
+
+    runGrid(train, 2)
+
+    # weights stay in lockstep across nodes (same mean gradient applied)
+    assert np.allclose(finalWeights[0], finalWeights[1], atol=1e-5)
+    assert errors[0] == errors[1]
+
+
+def testFusedMeshDataParallel():
+    import jax
+    from jax.sharding import Mesh
+
+    from puzzlelib_tpu.containers import Sequential
+    from puzzlelib_tpu.modules import Linear, Activation, relu
+    from puzzlelib_tpu.cost import MSE
+    from puzzlelib_tpu.optimizers import MomentumSGD
+    from puzzlelib_tpu.fused import FusedStep
+
+    ndev = len(jax.devices())
+    mesh = Mesh(np.array(jax.devices()), axis_names=("data", ))
+
+    np.random.seed(1)
+
+    def build():
+        np.random.seed(7)
+        seq = Sequential()
+        seq.append(Linear(8, 6))
+        seq.append(Activation(relu))
+        seq.append(Linear(6, 4))
+        return seq
+
+    data = np.random.randn(4 * ndev, 8).astype(np.float32)
+    target = np.random.randn(4 * ndev, 4).astype(np.float32)
+
+    # sharded run
+    seq = build()
+    opt = MomentumSGD(learnRate=0.05)
+    opt.setupOn(seq, useGlobalState=True)
+    cost = MSE()
+    step = FusedStep(seq, cost, opt, mesh=mesh)
+
+    for _ in range(3):
+        step(data, target)
+    shardedW = seq[0].W.get()
+
+    # single-device oracle
+    seqS = build()
+    optS = MomentumSGD(learnRate=0.05)
+    optS.setupOn(seqS, useGlobalState=True)
+    costS = MSE()
+    stepS = FusedStep(seqS, costS, optS)
+
+    for _ in range(3):
+        stepS(data, target)
+
+    assert np.allclose(shardedW, seqS[0].W.get(), atol=1e-5), "mesh DP diverges from single-device"

@@ -9,3 +9,5 @@ from puzzlelib_tpu.models.nets.sentinet import loadSentiNet
 from puzzlelib_tpu.models.nets.wavetoletter import loadW2L
 from puzzlelib_tpu.models.nets.inception import loadInceptionBN, loadInceptionV3
 from puzzlelib_tpu.models.nets.miniyolo import loadMiniYolo
+from puzzlelib_tpu.models.nets.openposecoco import loadCOCO
+from puzzlelib_tpu.models.nets.openposempi import loadMPI

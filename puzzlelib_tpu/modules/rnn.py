@@ -121,27 +121,35 @@ class RNN(Module):
                 sections = (self.hsize, self.hsize)
                 self.data = [split(fwddata, sections, axis=1)[0], split(bwddata, sections, axis=1)[1]]
 
-    def updateGrad(self, grad):
+    def _buildFullGrad(self, grad):
         if self.getSequences:
-            fullgrad = grad
+            return grad
+
+        seqlen = self.fulldata.shape[0]
+
+        if self.direction == DirectionMode.uni:
+            fullgrad = gpuarray.zeros((seqlen, ) + grad.shape, dtype=grad.dtype, allocator=memPool)
+            fullgrad[seqlen - 1] = grad
+
         else:
-            seqlen = self.fulldata.shape[0]
+            fwdgrad, bwdgrad = grad
+            batchsize, hsize = fwdgrad.shape[0], 2 * self.hsize
 
-            if self.direction == DirectionMode.uni:
-                fullgrad = gpuarray.zeros((seqlen, ) + grad.shape, dtype=grad.dtype, allocator=memPool)
-                fullgrad[seqlen - 1] = grad
+            fullgrad = gpuarray.zeros((seqlen, batchsize, hsize), dtype=fwdgrad.dtype, allocator=memPool)
+            fullgrad[0, :, bwdgrad.shape[1]:] = bwdgrad
+            fullgrad[-1, :, :fwdgrad.shape[1]] = fwdgrad
 
-            else:
-                fwdgrad, bwdgrad = grad
-                batchsize, hsize = fwdgrad.shape[0], 2 * self.hsize
+        return fullgrad
 
-                fullgrad = gpuarray.zeros((seqlen, batchsize, hsize), dtype=fwdgrad.dtype, allocator=memPool)
-                fullgrad[0, :, bwdgrad.shape[1]:] = bwdgrad
-                fullgrad[-1, :, :fwdgrad.shape[1]] = fwdgrad
-
+    def updateGrad(self, grad):
+        fullgrad = self._buildFullGrad(grad)
         self.grad, self.reserve = backwardDataRnn(fullgrad, self.fulldata, self.W, self.reserve, self.descRnn)
 
     def accGradParams(self, grad, scale=1.0, momentum=0.0):
+        # backwardParams recomputes via VJP and needs the output grad even when
+        # updateGrad was skipped (updGrad=False on the net's first module)
+        self.descRnn._lastGrad = self._buildFullGrad(grad).jax
+
         self.dw = backwardParamsRnn(self.inData, self.fulldata, self.W, self.reserve, self.descRnn)
         Blas.addVectorToVector(self.dw, self.getVar("W").grad, out=self.getVar("W").grad, alpha=scale, beta=momentum)
 

@@ -1,0 +1,143 @@
+import json
+
+import numpy as np
+
+from puzzlelib_tpu.backend import gpuarray
+from puzzlelib_tpu.containers import Sequential
+from puzzlelib_tpu.modules import Conv2D, BatchNorm2D, Activation, relu, MaxPool2D, Flatten, Linear, SoftMax
+
+
+def buildSmallNet():
+    net = Sequential(name="convnet")
+    net.append(Conv2D(3, 4, 3, pad=1, name="conv1"))
+    net.append(BatchNorm2D(4, name="bn1"))
+    net.append(Activation(relu, name="relu1"))
+    net.append(MaxPool2D(name="pool1"))
+    net.append(Flatten(name="flatten"))
+    net.append(Linear(4 * 4 * 4, 10, name="fc"))
+    net.append(SoftMax(name="probs"))
+    return net
+
+
+def testOnnxExportRoundTrip(tmp_path):
+    from puzzlelib_tpu.converter.onnx import ONNXExporter
+    from puzzlelib_tpu.converter.onnx import onnxmodel
+
+    np.random.seed(0)
+    net = buildSmallNet()
+    net.evalMode()
+
+    exporter = ONNXExporter()
+    model = exporter.export(net, (1, 3, 8, 8), str(tmp_path))
+
+    raw = (tmp_path / "convnet.onnx").read_bytes()
+    parsed = onnxmodel.parseModel(raw)
+
+    graph = parsed["graph"]
+    opTypes = [n["op_type"] for n in graph["nodes"]]
+
+    assert "Conv" in opTypes and "BatchNormalization" in opTypes and "Softmax" in opTypes
+    assert graph["outputs"][0]["shape"] == (1, 10)
+
+    # weights survive the round trip bit-exact
+    inits = {t["name"]: t for t in graph["initializer"]}
+    W = inits["convnet.conv1.W"]["vals"]
+    assert np.allclose(W, net["conv1"].W.get())
+
+
+def testCaffeImportRoundTrip(tmp_path):
+    """Encode a NetParameter with our wire writer, decode with the importer."""
+    from puzzlelib_tpu.converter.onnx import protowire as pw
+    from puzzlelib_tpu.converter.caffe import loadNetParameter, js2hdf
+
+    import h5py
+
+    W = np.random.randn(4, 3, 3, 3).astype(np.float32)
+    b = np.random.randn(4).astype(np.float32)
+
+    def blob(arr):
+        shape = b"".join(pw.encodeInt(1, d) for d in arr.shape)
+        out = pw.encodeMessage(7, shape)
+        out += pw.encodeField(5, pw.WIRE_BYTES, arr.astype("<f4").tobytes())  # packed floats
+        return out
+
+    layer = pw.encodeBytes(1, "conv1") + pw.encodeBytes(2, "Convolution") \
+        + pw.encodeMessage(7, blob(W)) + pw.encodeMessage(7, blob(b))
+
+    netparam = pw.encodeBytes(1, "testnet") + pw.encodeMessage(100, layer)
+
+    path = tmp_path / "model.caffemodel"
+    path.write_bytes(netparam)
+
+    js = loadNetParameter(str(path))
+    assert js["name"] == "testnet"
+    assert js["layer"][0]["type"] == "Convolution"
+
+    hdfpath = str(tmp_path / "model.hdf")
+    js2hdf(js, hdfpath)
+
+    with h5py.File(hdfpath, "r") as hdf:
+        wIdx = int(np.array(hdf["links"]["testnet.conv1.W"]))
+        assert np.allclose(np.array(hdf["params"][str(wIdx)]), W)
+
+
+def testMxnetImport(tmp_path):
+    from puzzlelib_tpu.converter.mxnet import convert
+
+    import struct
+    import h5py
+
+    W = np.random.randn(4, 3, 3, 3).astype(np.float32)
+    b = np.random.randn(4).astype(np.float32)
+
+    paramsname = str(tmp_path / "model.params")
+    with open(paramsname, "wb") as f:
+        f.write(struct.pack("<QQ", 0x112, 0))
+
+        tensors = [W, b]
+        f.write(struct.pack("<Q", len(tensors)))
+        for t in tensors:
+            f.write(struct.pack("<I", t.ndim))
+            f.write(struct.pack("<" + "I" * t.ndim, *t.shape))
+            f.write(struct.pack("<iii", 1, 0, 0))
+            f.write(t.tobytes())
+
+        keys = ["arg:conv0_weight", "arg:conv0_bias"]
+        f.write(struct.pack("<Q", len(keys)))
+        for k in keys:
+            f.write(struct.pack("<Q", len(k)))
+            f.write(k.encode())
+
+    symbolsname = str(tmp_path / "model-symbol.json")
+    with open(symbolsname, "w") as f:
+        json.dump({"nodes": [{"name": "conv0", "op": "Convolution", "inputs": []}]}, f)
+
+    hdfpath = convert(paramsname, symbolsname, str(tmp_path / "model.hdf"))
+
+    with h5py.File(hdfpath, "r") as hdf:
+        wIdx = int(np.array(hdf["links"]["model.conv0.W"]))
+        assert np.allclose(np.array(hdf["params"][str(wIdx)]), W)
+
+
+def testEngineBuildAndRun(tmp_path):
+    from puzzlelib_tpu.converter.engine import buildEngine, Engine
+
+    np.random.seed(1)
+    net = buildSmallNet()
+    net.evalMode()
+
+    data = gpuarray.to_gpu(np.random.randn(1, 3, 8, 8).astype(np.float32))
+    expected = net(data).get()
+    net.reset()
+
+    engine = buildEngine(net, (1, 3, 8, 8), str(tmp_path))
+    out = engine(data)
+
+    assert np.allclose(out.get(), expected, atol=1e-5)
+
+    # reload from disk like a deployment process would
+    engine2 = Engine(str(tmp_path / "convnet.float32.engine"))
+    out2 = engine2(data)
+    assert np.allclose(out2.get(), expected, atol=1e-5)
+
+    assert (tmp_path / "convnet.float32.stablehlo.mlir").exists()

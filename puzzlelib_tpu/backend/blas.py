@@ -62,8 +62,34 @@ def _vectorL1Norm(x):
     return GPUArray(_ops.l1norm(x.jax))
 
 
+def _usePallasGemm(A, B):
+    if Config.gemmAlgo == "xla":
+        return False
+
+    m, k = (A.shape[1], A.shape[0]) if False else A.shape
+    n = B.shape[1] if B.ndim == 2 else 0
+
+    if Config.gemmAlgo == "pallas":
+        return True
+
+    # "auto": large, lane-aligned shapes where the kernel measured faster than XLA
+    return min(A.shape[0], A.shape[1], n) >= 1024 and n % 128 == 0 and A.shape[1] % 128 == 0
+
+
 def _mulMatrixOnMatrix(A, B, out=None, transpA=False, transpB=False, alpha=1.0, beta=0.0):
     hasOut = out is not None and beta != 0.0
+
+    if not transpA and not transpB and not hasOut and alpha == 1.0 and _usePallasGemm(A, B):
+        from puzzlelib_tpu.ops.pallas import matmul as _plmm, onTpu
+
+        result = _plmm.matmulPadded(A.jax, B.jax, interpret=not onTpu())
+
+        if out is None:
+            return GPUArray(result)
+
+        out._write(result)
+        return out
+
     result = _ops.gemm(A.jax, B.jax, out.jax if hasOut else None, alpha, beta,
                        transpA=transpA, transpB=transpB, hasOut=hasOut)
 

@@ -60,6 +60,10 @@ matmulPrecision = os.environ.get("PUZZLE_MATMUL_PRECISION", "highest")
 # NaN-poison fresh allocations (reference debug allocator, Cuda/Utils.py:97-114).
 debugAllocator = False
 
+# GEMM dispatch: "xla" (default), "pallas" (hand-tiled MXU kernel), or "auto"
+# (pallas for large aligned shapes where the autotuner measured a win).
+gemmAlgo = os.environ.get("PUZZLE_GEMM_ALGO", "xla")
+
 
 def isCPUBased(bnd):
     return bnd == Backend.cpu

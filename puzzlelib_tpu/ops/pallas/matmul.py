@@ -1,0 +1,129 @@
+"""Tiled MXU matmul kernel with K-accumulation and simple autotuning.
+
+Grid is (M/bm, N/bn, K/bk) with the K axis innermost ("arbitrary" semantics):
+each (i, j) tile revisits its output block accumulating partial products in a
+float32 VMEM scratch accumulator, writing back once on the last K step - the
+canonical Pallas TPU matmul schedule.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _matmulKernel(aRef, bRef, outRef, accRef, *, nk):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        accRef[...] = jnp.zeros_like(accRef)
+
+    accRef[...] += jnp.dot(aRef[...], bRef[...], preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        outRef[...] = accRef[...].astype(outRef.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))
+def matmul(a, b, bm=512, bn=512, bk=512, interpret=False):
+    """a (M, K) @ b (K, N) -> (M, N); M, N, K should be multiples of the tiles
+    (the dispatch layer pads otherwise)."""
+    m, k = a.shape
+    _, n = b.shape
+
+    bm, bn, bk = min(bm, m), min(bn, n), min(bk, k)
+    nk = pl.cdiv(k, bk)
+
+    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), nk)
+
+    return pl.pallas_call(
+        functools.partial(_matmulKernel, nk=nk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), a.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=(m * k + k * n + m * n) * a.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a, b)
+
+
+def matmulPadded(a, b, bm=512, bn=512, bk=512, interpret=False):
+    """Pad to tile multiples, run the kernel, slice back."""
+    m, k = a.shape
+    _, n = b.shape
+
+    mp = -(-m // 8) * 8 if m < bm else -(-m // bm) * bm
+    npad = -(-n // 128) * 128 if n < bn else -(-n // bn) * bn
+    kp = -(-k // 128) * 128 if k < bk else -(-k // bk) * bk
+
+    if (mp, npad, kp) != (m, n, k):
+        a = jnp.pad(a, ((0, mp - m), (0, kp - k)))
+        b = jnp.pad(b, ((0, kp - k), (0, npad - n)))
+
+    out = matmul(a, b, bm=bm, bn=bn, bk=bk, interpret=interpret)
+
+    if (mp, npad) != (m, n):
+        out = out[:m, :n]
+
+    return out
+
+
+_TILE_CANDIDATES = [
+    (256, 256, 256), (512, 512, 512), (512, 512, 1024), (1024, 512, 512),
+    (512, 1024, 512), (256, 512, 512), (512, 256, 512), (1024, 1024, 512),
+]
+
+_tuned = {}
+
+
+def autotune(m, n, k, dtype=np.float32, iters=10):
+    """Time tile candidates for (m, n, k); cache per shape signature."""
+    import time
+
+    key = (m, n, k, np.dtype(dtype).str)
+    if key in _tuned:
+        return _tuned[key]
+
+    a = jnp.zeros((m, k), dtype)
+    b = jnp.zeros((k, n), dtype)
+
+    best, bestTiles = float("inf"), _TILE_CANDIDATES[0]
+
+    for bm, bn, bk in _TILE_CANDIDATES:
+        if bm > m or bn > n or bk > k:
+            continue
+
+        try:
+            fn = lambda: matmul(a, b, bm=bm, bn=bn, bk=bk)
+            jax.block_until_ready(fn())
+
+            start = time.perf_counter()
+            for _ in range(iters):
+                out = fn()
+            jax.block_until_ready(out)
+            secs = (time.perf_counter() - start) / iters
+
+        except Exception:
+            continue
+
+        if secs < best:
+            best, bestTiles = secs, (bm, bn, bk)
+
+    _tuned[key] = bestTiles
+    return bestTiles

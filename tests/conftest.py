@@ -12,3 +12,8 @@ if os.environ.get("PUZZLE_TPU_TESTS", "0") != "1":
         os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
     os.environ.setdefault("PUZZLE_BACKEND", "cpu")
+
+# initialize the platform override before any test-level jax usage (the axon
+# plugin's sitecustomize forces jax_platforms="axon,cpu" at interpreter start)
+from puzzlelib_tpu.backend import device as _device  # noqa: E402
+_device.ensureInit()

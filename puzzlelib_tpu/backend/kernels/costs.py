@@ -63,7 +63,7 @@ def _calcAccuracy(pred, labels, allocator=None):
 
 def _calcBCEAccuracy(scores, labels, allocator=None):
     import jax.numpy as jnp
-    x, y = scores.jax, labels.jax
+    x, y = scores.jax.ravel(), labels.jax.ravel()
     wrong = jnp.where(y == 1, x <= 0.0, x > 0.0)
     return GPUArray(jnp.sum(wrong).astype(jnp.float32))
 
@@ -77,9 +77,12 @@ def _l1HingeAccuracy(dist, labels, allocator=None):
 
 def _klDivergence(softmax, target, grad, gradnorm, allocator=None):
     import jax.numpy as jnp
-    x, y = softmax.jax.astype(jnp.float32), target.jax.astype(jnp.float32)
 
-    grad._write(((y - x) * gradnorm).reshape(grad.shape).astype(grad.dtype))
+    # flat elementwise pairing (softmax may carry trailing singleton dims)
+    x = softmax.jax.astype(jnp.float32).reshape(grad.shape)
+    y = target.jax.astype(jnp.float32).reshape(grad.shape)
+
+    grad._write(((y - x) * gradnorm).astype(grad.dtype))
 
     err = jnp.sum(jnp.where(y > 0.0, y * (jnp.log(jnp.maximum(y, 1e-38)) - jnp.log(jnp.maximum(x, 1e-38))), 0.0))
     return GPUArray(err)

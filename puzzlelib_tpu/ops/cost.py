@@ -83,15 +83,16 @@ def bce(scores, labels):
     batch = scores.shape[0]
     spatial = int(np.prod(scores.shape[1:])) if scores.ndim > 1 else 1
 
-    sf = scores.astype(jnp.float32)
+    # flat elementwise pairing, as in the reference kernel (scores[i] vs labels[i])
+    sf = scores.astype(jnp.float32).ravel()
     prob = jax.nn.sigmoid(sf)
-    isOne = (labels == 1)
+    isOne = (labels.ravel() == 1)
 
     err = jnp.sum(jnp.where(isOne, -jnp.log(jnp.maximum(prob, 1e-38)),
                             -jnp.log(jnp.maximum(1.0 - prob, 1e-38)))) / spatial
     grad = (isOne.astype(jnp.float32) - prob) / batch / spatial
 
-    return err, grad.astype(scores.dtype)
+    return err, grad.reshape(scores.shape).astype(scores.dtype)
 
 
 @jax.jit

@@ -45,8 +45,13 @@ class RandomNumberGenerator:
         data._write(sample.astype(data.dtype))
 
     def fillInteger(self, data):
-        info = np.iinfo(data.dtype)
-        sample = jax.random.randint(self.nextKey(), data.shape, info.min, info.max, dtype=np.dtype(data.dtype))
+        if data.dtype.kind == "u":
+            sample = jax.random.bits(self.nextKey(), data.shape, dtype=np.dtype(data.dtype))
+        else:
+            info = np.iinfo(data.dtype)
+            sample = jax.random.randint(self.nextKey(), data.shape, info.min, info.max,
+                                        dtype=np.dtype(data.dtype))
+
         data._write(sample)
 
 

@@ -39,11 +39,14 @@ def _rootBuffer(ary):
     return ary
 
 
-def collectStateBuffers(module, cost=None, optimizer=None):
-    """Unique root GPUArray buffers whose contents the train step mutates."""
-    seen, roots = set(), []
+def collectStateBuffers(module, cost=None, optimizer=None, withMeta=False):
+    """Unique root GPUArray buffers whose contents the train step mutates.
 
-    def add(ary):
+    With ``withMeta`` also returns per-buffer provenance
+    (owner module, var/attr name) for sharding rules."""
+    seen, roots, meta = set(), [], []
+
+    def add(ary, owner=None, name=None):
         if not isinstance(ary, GPUArray):
             return
 
@@ -51,15 +54,16 @@ def collectStateBuffers(module, cost=None, optimizer=None):
         if id(root) not in seen:
             seen.add(id(root))
             roots.append(root)
+            meta.append((owner, name))
 
     def walkModule(mod):
-        for var in mod.vars.values():
-            add(var.data)
+        for varname, var in mod.vars.items():
+            add(var.data, mod, varname)
             if var.grad is not None:
-                add(var.grad)
+                add(var.grad, mod, varname)
 
-        for attr in mod.attrs.values():
-            add(attr)
+        for attrname, attr in mod.attrs.items():
+            add(attr, mod, attrname)
 
         if isinstance(mod, Container):
             for child in mod.modules.values():
@@ -68,9 +72,16 @@ def collectStateBuffers(module, cost=None, optimizer=None):
     walkModule(module)
 
     if optimizer is not None:
-        for state in optimizer.states.values():
+        for varname, state in optimizer.states.items():
             for entity in state.values():
-                add(entity)
+                owner = None
+                try:
+                    var = optimizer.module.getVar(varname) if optimizer.module is not None else None
+                    owner = var
+                except Exception:
+                    pass
+
+                add(entity, owner, varname)
 
         for globalVar in optimizer.globalVar.values():
             add(globalVar.data)
@@ -80,7 +91,65 @@ def collectStateBuffers(module, cost=None, optimizer=None):
         add(cost.devErr)
         add(cost.accumErr)
 
+    if withMeta:
+        return roots, meta
+
     return roots
+
+
+def tensorParallelSpecs(module, cost, optimizer, mesh, modelAxis="model"):
+    """Per-buffer PartitionSpecs for simple Megatron-style tensor parallelism:
+    Linear weights shard on the output-feature dim, Conv weights on outmaps.
+    Optimizer state for a sharded var shards the same way (shape-matched);
+    everything else is replicated.  GSPMD inserts the activation collectives.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from puzzlelib_tpu.modules.linear import Linear
+    from puzzlelib_tpu.modules.convnd import ConvND
+
+    buffers, meta = collectStateBuffers(module, cost, optimizer, withMeta=True)
+
+    # var-shape -> spec map for matching optimizer state entities
+    shapeSpecs = {}
+
+    def specFor(owner, name, buf):
+        if isinstance(owner, Linear) and name == "W":
+            spec = P(None, modelAxis) if not owner.transpose else P(modelAxis, None)
+        elif isinstance(owner, Linear) and name == "b":
+            spec = P(modelAxis)
+        elif isinstance(owner, ConvND) and name == "W":
+            spec = P(modelAxis)
+        elif isinstance(owner, ConvND) and name == "b":
+            spec = P(None, modelAxis)
+        else:
+            return P()
+
+        # only shard when the dim divides evenly over the axis
+        axisSize = mesh.shape[modelAxis]
+        dims = [d for d, s in zip(buf.shape, spec) if s is not None]
+
+        if any(d % axisSize != 0 for d in dims):
+            return P()
+
+        shapeSpecs[buf.shape] = spec
+        return spec
+
+    specs = []
+    for buf, (owner, name) in zip(buffers, meta):
+        if owner is not None and not isinstance(owner, str):
+            from puzzlelib_tpu.variable import Variable
+
+            if isinstance(owner, Variable):
+                # optimizer state entity: shard like the variable it tracks
+                specs.append(shapeSpecs.get(buf.shape, P()))
+                continue
+
+            specs.append(specFor(owner, name, buf))
+        else:
+            specs.append(shapeSpecs.get(buf.shape, P()))
+
+    return [NamedSharding(mesh, spec) for spec in specs]
 
 
 class FusedStep:
@@ -90,7 +159,8 @@ class FusedStep:
     place (donated buffers).  Retraces only when input shapes change.
     """
 
-    def __init__(self, module, cost, optimizer, donate=True, mesh=None, dataAxis="data"):
+    def __init__(self, module, cost, optimizer, donate=True, mesh=None, dataAxis="data",
+                 stateShardings=None):
         self.module = module
         self.cost = cost
         self.optimizer = optimizer
@@ -100,16 +170,15 @@ class FusedStep:
         jitKwargs = dict(donate_argnums=(0, ) if donate else ())
 
         if mesh is not None:
-            # GSPMD data parallelism: batch dim sharded over the mesh axis,
-            # parameters/optimizer state replicated - XLA inserts the gradient
-            # all-reduce over ICI automatically.
+            # GSPMD parallelism: batch dim sharded over the data axis; state
+            # replicated by default, or per-buffer sharded (tensor parallelism
+            # via tensorParallelSpecs) - XLA inserts all collectives over ICI.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             repl = NamedSharding(mesh, P())
             batchSharded = NamedSharding(mesh, P(dataAxis))
 
-            stateSpec = [repl] * len(self.buffers)
-            hyperSpec = {}
+            stateSpec = stateShardings if stateShardings is not None else [repl] * len(self.buffers)
 
             jitKwargs["in_shardings"] = (stateSpec, None, repl, repl, batchSharded, batchSharded)
             jitKwargs["out_shardings"] = stateSpec

@@ -120,3 +120,54 @@ def testFusedMeshDataParallel():
         stepS(data, target)
 
     assert np.allclose(shardedW, seqS[0].W.get(), atol=1e-5), "mesh DP diverges from single-device"
+
+
+def testFusedTensorParallelMatchesSingle():
+    import jax
+    from jax.sharding import Mesh
+
+    from puzzlelib_tpu.containers import Sequential
+    from puzzlelib_tpu.modules import Linear, Activation, relu
+    from puzzlelib_tpu.cost import MSE
+    from puzzlelib_tpu.optimizers import MomentumSGD
+    from puzzlelib_tpu.fused import FusedStep, tensorParallelSpecs
+
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, axis_names=("data", "model"))
+
+    def build():
+        np.random.seed(11)
+        seq = Sequential()
+        seq.append(Linear(16, 32))
+        seq.append(Activation(relu))
+        seq.append(Linear(32, 8))
+        return seq
+
+    np.random.seed(12)
+    data = np.random.randn(8, 16).astype(np.float32)
+    target = np.random.randn(8, 8).astype(np.float32)
+
+    # dp x tp sharded run
+    seq = build()
+    opt = MomentumSGD(learnRate=0.05, momRate=0.9)
+    opt.setupOn(seq, useGlobalState=False)
+    cost = MSE()
+
+    shardings = tensorParallelSpecs(seq, cost, opt, mesh, modelAxis="model")
+    step = FusedStep(seq, cost, opt, mesh=mesh, stateShardings=shardings)
+
+    for _ in range(3):
+        step(data, target)
+    shardedW = seq[0].W.get()
+
+    # single-device oracle
+    seqS = build()
+    optS = MomentumSGD(learnRate=0.05, momRate=0.9)
+    optS.setupOn(seqS, useGlobalState=False)
+    costS = MSE()
+    stepS = FusedStep(seqS, costS, optS)
+
+    for _ in range(3):
+        stepS(data, target)
+
+    assert np.allclose(shardedW, seqS[0].W.get(), atol=1e-5), "tensor parallel diverges"

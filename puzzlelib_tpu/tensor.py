@@ -381,6 +381,9 @@ class SharedArray:
 
 
 def dtypesSupported():
-    """Dtypes with test tolerances; fp16 plays the reference's half-float role
-    (bfloat16 is also accepted by ops but has no numpy-oracle tolerance tier)."""
-    return [(np.float32, 1e-5), (np.float16, 1e-2)]
+    """Dtypes with test tolerances.  float16 mirrors the reference's half-float
+    tier; bfloat16 is the TPU-native half type (wider exponent, coarser
+    mantissa, hence the looser tolerance)."""
+    import ml_dtypes
+
+    return [(np.float32, 1e-5), (np.float16, 1e-2), (np.dtype(ml_dtypes.bfloat16).type, 5e-2)]

@@ -169,3 +169,48 @@ def testGraphMatchesSequentialAndParallel():
     expected = np.concatenate([hidden @ w1 + bb1, hidden @ w2 + bb2], axis=1)
 
     assert np.allclose(out.get(), expected, atol=1e-4)
+
+
+def testFusedTrainerWithRnnAndBf16Mode():
+    """Fused single-executable step through an RNN net; bf16 calcMode accepted."""
+    import ml_dtypes
+    from puzzlelib_tpu.modules import RNN, Cast
+    from puzzlelib_tpu.fused import FusedStep
+    from puzzlelib_tpu.optimizers import Adam
+    from puzzlelib_tpu.cost import MSE
+
+    np.random.seed(20)
+
+    seq = Sequential()
+    seq.append(RNN(6, 8, mode="lstm"))
+    seq.append(Linear(8, 4))
+
+    opt = Adam(alpha=0.01)
+    opt.setupOn(seq, useGlobalState=True)
+
+    cost = MSE()
+    step = FusedStep(seq, cost, opt)
+
+    data = np.random.randn(5, 3, 6).astype(np.float32)
+    target = np.random.randn(3, 4).astype(np.float32)
+
+    first = None
+    for _ in range(10):
+        step(data, target)
+        err = cost.getError()
+        if first is None:
+            first = err
+
+    assert err < first, "fused RNN step did not reduce loss (%s -> %s)" % (first, err)
+
+    # bfloat16 calc mode end-to-end
+    bf16 = np.dtype(ml_dtypes.bfloat16).type
+
+    seq16 = Sequential()
+    seq16.append(Linear(8, 4))
+    seq16.calcMode(bf16)
+    seq16.append(Cast(intype="bfloat16", outtype=np.float32))
+
+    x = gpuarray.to_gpu(np.random.randn(2, 8).astype(bf16))
+    out = seq16(x)
+    assert out.dtype == np.float32 and out.shape == (2, 4)

@@ -63,7 +63,7 @@ def main():
     from puzzlelib_tpu.fused import FusedStep
 
     np.random.seed(0)
-    batch = 128
+    batch = int(os.environ.get("BENCH_BATCH", "512"))
 
     data = np.random.randn(batch, 1, 28, 28).astype(np.float32)
     labels = np.random.randint(0, 10, size=(batch, )).astype(np.int32)
@@ -95,7 +95,7 @@ def main():
         optE.update()
         netE.reset()
 
-    eagerSec = timeSteps(eagerStep, lambda: jax.block_until_ready(netE[0].W.jax), warmup=3, iters=10)
+    eagerSec = timeSteps(eagerStep, lambda: jax.block_until_ready(netE[0].W.jax), warmup=2, iters=5)
 
     imagesPerSec = batch / fusedSec
 

@@ -82,8 +82,12 @@ class Sum(Module):
                               (len(shape), self.axis + 1))
 
     def checkGradShape(self, shape):
-        if self.axis >= len(shape) + 1 - 1:
-            pass
+        if self.axis > len(shape):
+            raise ModuleError("Not enough dims in grad (%d were given, need at least %d)" %
+                              (len(shape), self.axis))
+
+        if self.useWeights and shape[:self.axis] != self.v.shape[:self.axis]:
+            raise ModuleError("Inconsistency in grad and weights shapes (%s with %s)" % (shape, self.v.shape))
 
     def reset(self):
         super().reset()

@@ -45,17 +45,36 @@ def convNd(x, w, b, stride, pad, dilation, groups, hasBias=False):
     return out
 
 
+def _convCoreF32(x, w, stride, pad, dilation, groups):
+    """f32 conv core for VJP-based paths.
+
+    The transpose rule of ``conv_general_dilated`` requires the cotangent and
+    the carried operand to share a dtype; with ``preferred_element_type=f32``
+    and fp16/bf16 params the cotangent is f32 while ``w`` is half — so the
+    backward paths run through this all-f32 core and cast at the boundary.
+    """
+    nd = x.ndim - 2
+    return lax.conv_general_dilated(
+        x.astype(jnp.float32), w.astype(jnp.float32),
+        window_strides=stride,
+        padding=[(p, p) for p in pad],
+        rhs_dilation=dilation,
+        dimension_numbers=_dimNumbers(nd),
+        feature_group_count=groups,
+    )
+
+
 @partial(jax.jit, static_argnames=("xshape", "stride", "pad", "dilation", "groups"))
 def convNdBackwardData(grad, w, xshape, stride, pad, dilation, groups):
-    x0 = jnp.zeros(xshape, grad.dtype)
-    _, vjp = jax.vjp(lambda xx: _convCore(xx, w, stride, pad, dilation, groups), x0)
-    return vjp(grad)[0]
+    x0 = jnp.zeros(xshape, jnp.float32)
+    _, vjp = jax.vjp(lambda xx: _convCoreF32(xx, w, stride, pad, dilation, groups), x0)
+    return vjp(grad.astype(jnp.float32))[0].astype(grad.dtype)
 
 
 @partial(jax.jit, static_argnames=("stride", "pad", "dilation", "groups", "hasBias"))
 def convNdBackwardParams(x, grad, wshape_w, stride, pad, dilation, groups, hasBias=False):
-    _, vjp = jax.vjp(lambda ww: _convCore(x, ww, stride, pad, dilation, groups), wshape_w)
-    dw = vjp(grad)[0]
+    _, vjp = jax.vjp(lambda ww: _convCoreF32(x, ww, stride, pad, dilation, groups), wshape_w)
+    dw = vjp(grad.astype(jnp.float32))[0]
 
     db = None
     if hasBias:
@@ -82,9 +101,9 @@ def _deconvCore(x, w, stride, pad, dilation, postpad, groups):
         for i in range(nd)
     )
 
-    y0 = jnp.zeros((x.shape[0], w.shape[1] * groups) + outspatial, x.dtype)
-    _, vjp = jax.vjp(lambda yy: _convCore(yy, w, stride, pad, dilation, groups), y0)
-    return vjp(x)[0]
+    y0 = jnp.zeros((x.shape[0], w.shape[1] * groups) + outspatial, jnp.float32)
+    _, vjp = jax.vjp(lambda yy: _convCoreF32(yy, w, stride, pad, dilation, groups), y0)
+    return vjp(x.astype(jnp.float32))[0].astype(x.dtype)
 
 
 @partial(jax.jit, static_argnames=("stride", "pad", "dilation", "postpad", "groups", "hasBias"))

@@ -1,0 +1,101 @@
+"""Full-network train/infer throughput benchmark.
+
+Reference analogue: /root/reference/TestLib/OptimizeNet.py:29-37 times a
+VGG-16 train step before/after cuDNN autotuning. Here the fused
+single-executable step is the tuned path; this harness generalises it to any
+bundled net and dtype.
+
+Run:  python -m puzzlelib_tpu.benchmarks.netspeed --net vgg16 --batch 32
+      python -m puzzlelib_tpu.benchmarks.netspeed --net resnet50 --dtype bfloat16
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def buildNet(name):
+    if name.startswith("vgg"):
+        from puzzlelib_tpu.models.nets.vgg import loadVGG
+        return loadVGG(None, name[3:]), (3, 224, 224), 1000
+
+    if name.startswith("resnet"):
+        from puzzlelib_tpu.models.nets.resnet import loadResNet
+        return loadResNet(None, name[6:]), (3, 224, 224), 1000
+
+    if name == "nin":
+        from puzzlelib_tpu.models.nets.nin import loadNiNImageNet
+        return loadNiNImageNet(None), (3, 224, 224), 1000
+
+    if name == "lenet":
+        from puzzlelib_tpu.models.nets.lenet import loadLeNet
+        return loadLeNet(None), (1, 28, 28), 10
+
+    raise ValueError("unknown net %s" % name)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--net", default="vgg16")
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--dtype", default="float32", choices=["float32", "float16", "bfloat16"])
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--infer", action="store_true", help="time inference instead of training")
+    args = parser.parse_args()
+
+    import jax
+    import ml_dtypes
+
+    from puzzlelib_tpu.backend import gpuarray
+    from puzzlelib_tpu.cost import CrossEntropy
+    from puzzlelib_tpu.optimizers import MomentumSGD
+    from puzzlelib_tpu.fused import FusedStep
+
+    dtype = {"float32": np.float32, "float16": np.float16,
+             "bfloat16": np.dtype(ml_dtypes.bfloat16).type}[args.dtype]
+
+    net, inshape, nlabels = buildNet(args.net)
+    if args.dtype != "float32":
+        net.calcMode(dtype)
+
+    data = np.random.randn(args.batch, *inshape).astype(dtype)
+    labels = np.random.randint(0, nlabels, size=(args.batch, )).astype(np.int32)
+
+    if args.infer:
+        net.evalMode()
+        dev = gpuarray.to_gpu(data)
+
+        out = net(dev)                                       # compile
+        jax.block_until_ready(out.jax)
+
+        start = time.perf_counter()
+        for _ in range(args.iters):
+            out = net(dev)
+        jax.block_until_ready(out.jax)
+        secs = (time.perf_counter() - start) / args.iters
+        mode = "infer"
+
+    else:
+        optimizer = MomentumSGD(learnRate=0.01, momRate=0.9)
+        optimizer.setupOn(net, useGlobalState=True)
+        step = FusedStep(net, CrossEntropy(maxlabels=nlabels), optimizer)
+
+        devData, devLabels = gpuarray.to_gpu(data), gpuarray.to_gpu(labels)
+
+        step(devData, devLabels)                             # compile
+        jax.block_until_ready(step.buffers[0].jax)
+
+        start = time.perf_counter()
+        for _ in range(args.iters):
+            step(devData, devLabels)
+        jax.block_until_ready(step.buffers[0].jax)
+        secs = (time.perf_counter() - start) / args.iters
+        mode = "train"
+
+    print("%s %s %s batch %d: %.2f ms/step, %.1f images/sec" %
+          (args.net, mode, args.dtype, args.batch, secs * 1e3, args.batch / secs))
+
+
+if __name__ == "__main__":
+    main()

@@ -40,7 +40,9 @@ def _poolCore(x, size, stride, pad, mode):
     dims, strides, padding, nd = _window(x, size, stride, pad)
 
     if mode == MODE_MAX:
-        init = np.array(-np.inf if x.dtype.kind == "f" else np.iinfo(x.dtype).min, x.dtype)
+        # jnp.issubdtype, not dtype.kind: ml_dtypes floats (bfloat16) report kind 'V'
+        isFloat = jnp.issubdtype(x.dtype, jnp.floating)
+        init = np.array(-np.inf if isFloat else np.iinfo(x.dtype).min, x.dtype)
         return lax.reduce_window(x, init, lax.max, dims, strides, padding)
 
     summed = lax.reduce_window(
@@ -78,7 +80,7 @@ def maxpool2dWithIndex(x, size, stride, pad):
     sh, sw = stride
     ph, pw = pad
 
-    neg = jnp.asarray(-jnp.inf if x.dtype.kind == "f" else jnp.iinfo(x.dtype).min, x.dtype)
+    neg = jnp.asarray(-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min, x.dtype)
     xp = jnp.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw)), constant_values=neg)
 
     patches = lax.conv_general_dilated_patches(

@@ -215,7 +215,9 @@ class GPUArray:
         dtype = np.dtype(dtype)
 
         if Config.debugAllocator:
-            poison = np.nan if dtype.kind == "f" else np.iinfo(dtype).max if dtype.kind in "iu" else 0
+            import jax.numpy as _jnp
+            poison = (np.nan if _jnp.issubdtype(dtype, _jnp.floating)
+                      else np.iinfo(dtype).max if dtype.kind in "iu" else 0)
             return cls(jnp.full(shape, poison, dtype))
 
         return cls(jnp.zeros(shape, dtype))

@@ -62,3 +62,19 @@ def testActivationPerDtype(dtype, atol):
     out = act(gpuarray.to_gpu(hostData))
 
     assert np.allclose(out.get().astype(np.float32), np.tanh(hostData.astype(np.float32)), atol=atol)
+
+
+@pytest.mark.parametrize("dtype,atol", gpuarray.dtypesSupported())
+def testPoolPerDtype(dtype, atol):
+    """bf16 regression: ml_dtypes kinds are 'V', not 'f' — max-pool init must not hit np.iinfo."""
+    from puzzlelib_tpu.modules import MaxPool2D, AvgPool2D
+
+    np.random.seed(3)
+    hostData = np.random.randn(2, 3, 8, 8).astype(dtype)
+
+    for mod in (MaxPool2D(), AvgPool2D()):
+        mod.calcMode(dtype)
+        out = mod(gpuarray.to_gpu(hostData))
+        assert out.dtype == np.dtype(dtype) and out.shape == (2, 3, 4, 4)
+        mod.backward(gpuarray.to_gpu(np.random.randn(*out.shape).astype(dtype)))
+        assert mod.grad.shape == hostData.shape

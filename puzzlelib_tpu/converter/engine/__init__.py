@@ -1,2 +1,3 @@
-from puzzlelib_tpu.converter.engine.buildengine import buildEngine
+from puzzlelib_tpu.converter.engine.buildengine import buildEngine, DataType
 from puzzlelib_tpu.converter.engine.engine import Engine
+from puzzlelib_tpu.converter.engine.datacalibrator import DataCalibrator

@@ -19,6 +19,80 @@ class DataType:
     float32 = "float32"
     float16 = "float16"
     bfloat16 = "bfloat16"
+    int8 = "int8"
+
+
+def _quantizableModules(net):
+    from puzzlelib_tpu.modules.linear import Linear
+    from puzzlelib_tpu.modules.convnd import ConvND
+
+    mods = []
+
+    def walk(mod):
+        children = getattr(mod, "modules", None)
+
+        if isinstance(children, dict) and children:
+            for child in children.values():
+                walk(child)
+        elif isinstance(mod, (Linear, ConvND)):
+            mods.append(mod)
+
+    walk(net)
+    return mods
+
+
+def _patchQuantized(modules, scales):
+    """Swap each module's updateData for the int8 path; returns a restore fn.
+
+    Weights are quantized per-output-channel ahead of time; the calibrated
+    activation scale comes from ``scales[id(mod)]``.
+    """
+    import jax.numpy as jnp
+
+    from puzzlelib_tpu.tensor import GPUArray
+    from puzzlelib_tpu.modules.linear import Linear
+    from puzzlelib_tpu.ops import quant
+
+    originals = {}
+
+    for mod in modules:
+        originals[id(mod)] = mod.updateData
+        xscale = scales[id(mod)]
+
+        if isinstance(mod, Linear):
+            w = np.asarray(mod.W.get())
+            axis = 0 if mod.transpose else 1
+            wq, wscale = quant.quantizeWeight(w, axis)
+
+            bias = jnp.asarray(mod.b.get()) if mod.useBias else None
+
+            def patched(data, mod=mod, wq=jnp.asarray(wq), wscale=jnp.asarray(wscale.reshape(-1)),
+                        xscale=xscale, bias=bias):
+                mod.data = GPUArray(quant.quantLinear(
+                    data.jax, wq, wscale, xscale, bias, transpose=mod.transpose
+                ))
+
+        else:
+            w = np.asarray(mod.W.get())
+            wq, wscale = quant.quantizeWeight(w, axis=0)
+
+            bias = jnp.asarray(mod.b.get().reshape(-1)) if mod.useBias else None
+
+            def patched(data, mod=mod, wq=jnp.asarray(wq), wscale=jnp.asarray(wscale.reshape(-1)),
+                        xscale=xscale, bias=bias):
+                mod.data = GPUArray(quant.quantConvNd(
+                    data.jax, wq, wscale, xscale, bias,
+                    stride=tuple(mod.stride), pad=tuple(mod.pad), dilation=tuple(mod.dilation),
+                    groups=mod.groups
+                ))
+
+        mod.updateData = patched
+
+    def restore():
+        for mod in modules:
+            mod.updateData = originals[id(mod)]
+
+    return restore
 
 
 def _functionalForward(net):
@@ -32,12 +106,18 @@ def _functionalForward(net):
     return forward
 
 
-def buildEngine(net, inshape, savepath, dtype=DataType.float32, name=None, returnEngine=True):
+def buildEngine(net, inshape, savepath, dtype=DataType.float32, name=None, returnEngine=True,
+                calibrator=None):
     """Trace + compile + serialize ``net`` for the given input shape.
 
     Produces ``<name>.<dtype>.engine`` (jax.export serialization, loadable by
     ``Engine``) plus ``<name>.<dtype>.stablehlo.mlir`` and a spec JSON for the
     C++ PJRT host driver.
+
+    ``dtype="int8"`` (with a ``DataCalibrator``) quantizes Linear/Conv weights
+    per-output-channel and activations per-tensor with calibrated scales; the
+    integer matmuls/convs run on the MXU's native int8 path
+    (reference int8 mode: /root/reference/Converter/TensorRT/BuildRTEngine.py:181-193).
     """
     import jax
     import jax.numpy as jnp
@@ -49,17 +129,37 @@ def buildEngine(net, inshape, savepath, dtype=DataType.float32, name=None, retur
     net.evalMode()
 
     dtype = getattr(dtype, "value", dtype)
-    dtype = np.dtype(jnp.bfloat16) if dtype == DataType.bfloat16 else np.dtype(dtype)
+
+    restore = None
+    if dtype == DataType.int8:
+        if calibrator is None:
+            raise ValueError("int8 engines require a DataCalibrator for activation ranges")
+
+        modules = _quantizableModules(net)
+        scales = calibrator.calibrate(net, modules)
+        restore = _patchQuantized(modules, scales)
+
+        computeDtype = np.dtype(np.int8)                # spec label; I/O stays float32
+        castInputTo = None
+    else:
+        computeDtype = np.dtype(jnp.bfloat16) if dtype == DataType.bfloat16 else np.dtype(dtype)
+        castInputTo = computeDtype
+
+    dtype = computeDtype
 
     forward = _functionalForward(net)
 
     def typedForward(x):
         # mixed-precision serving: compute in the engine dtype, return float32
-        out = forward(x.astype(dtype))
+        out = forward(x.astype(castInputTo) if castInputTo is not None else x)
         return out.astype(jnp.float32)
 
-    spec = jax.ShapeDtypeStruct(tuple(inshape), jnp.float32)
-    exported = jexport.export(jax.jit(typedForward))(spec)
+    try:
+        spec = jax.ShapeDtypeStruct(tuple(inshape), jnp.float32)
+        exported = jexport.export(jax.jit(typedForward))(spec)
+    finally:
+        if restore is not None:
+            restore()
 
     base = os.path.join(savepath, "%s.%s" % (name, np.dtype(dtype).name))
 

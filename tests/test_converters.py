@@ -1,6 +1,7 @@
 import json
 
 import numpy as np
+import pytest
 
 from puzzlelib_tpu.backend import gpuarray
 from puzzlelib_tpu.containers import Sequential
@@ -141,3 +142,59 @@ def testEngineBuildAndRun(tmp_path):
     assert np.allclose(out2.get(), expected, atol=1e-5)
 
     assert (tmp_path / "convnet.float32.stablehlo.mlir").exists()
+
+
+def testInt8Engine(tmp_path):
+    """int8 quantized engine: entropy-calibrated activations, per-channel weights
+    (reference int8 mode: Converter/TensorRT/DataCalibrator.py)."""
+    import re
+
+    from puzzlelib_tpu.backend import gpuarray
+    from puzzlelib_tpu.containers import Sequential
+    from puzzlelib_tpu.modules import Conv2D, MaxPool2D, Activation, relu, Flatten, Linear
+    from puzzlelib_tpu.converter.engine import buildEngine, DataCalibrator
+
+    np.random.seed(11)
+
+    net = Sequential(name="qnet")
+    net.append(Conv2D(1, 8, 3, pad=1))
+    net.append(MaxPool2D())
+    net.append(Activation(relu))
+    net.append(Flatten())
+    net.append(Linear(8 * 6 * 6, 10))
+
+    calib = np.random.randn(64, 1, 12, 12).astype(np.float32)
+
+    for algo in ("entropy", "minmax"):
+        engine = buildEngine(net, inshape=(4, 1, 12, 12), savepath=str(tmp_path), dtype="int8",
+                             name="qnet_" + algo, calibrator=DataCalibrator(calib, batchsize=16, algo=algo))
+
+        x = np.random.randn(4, 1, 12, 12).astype(np.float32)
+        qout = engine(gpuarray.to_gpu(x)).get()
+
+        net.evalMode()
+        fout = net(gpuarray.to_gpu(x)).get()
+
+        cos = float(np.sum(qout * fout) / (np.linalg.norm(qout) * np.linalg.norm(fout)))
+        assert cos > 0.99, "%s int8 engine diverged (cos=%s)" % (algo, cos)
+
+    # the serialized program must actually compute in int8 (i8 x i8 -> i32 dot)
+    mlir = (tmp_path / "qnet_minmax.int8.stablehlo.mlir").read_text()
+    assert re.search(r"dot_general.*xi8>.*xi8>\) -> tensor<[0-9x]*xi32>", mlir)
+
+    # the fp32 net must be restored after engine build
+    before = net(gpuarray.to_gpu(np.ones((1, 1, 12, 12), np.float32))).get()
+    after = net(gpuarray.to_gpu(np.ones((1, 1, 12, 12), np.float32))).get()
+    assert np.allclose(before, after)
+
+
+def testInt8EngineRequiresCalibrator(tmp_path):
+    from puzzlelib_tpu.containers import Sequential
+    from puzzlelib_tpu.modules import Linear
+    from puzzlelib_tpu.converter.engine import buildEngine
+
+    net = Sequential(name="nocal")
+    net.append(Linear(4, 2))
+
+    with pytest.raises(ValueError, match="DataCalibrator"):
+        buildEngine(net, inshape=(1, 4), savepath=str(tmp_path), dtype="int8")

@@ -1,0 +1,94 @@
+"""GEMM roofline benchmark: Pallas kernel vs XLA dot, f32/bf16/int8.
+
+Prints TFLOP/s per shape and the fraction of the chip's peak (v5e:
+~197 TFLOP/s bf16, ~49 TFLOP/s f32-equivalent via MXU passes, ~394 TOP/s
+int8). The autotuner picks the best tile per shape; pass --tune to print the
+full per-tile sweep.
+
+Run:  python -m puzzlelib_tpu.benchmarks.gemmspeed [--sizes 2048,4096] [--tune]
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+PEAKS = {"float32": 49e12, "bfloat16": 197e12, "int8": 394e12}
+
+
+def timeFn(fn, iters=20):
+    import jax
+
+    jax.block_until_ready(fn())
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - start) / iters
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sizes", default="1024,2048,4096")
+    parser.add_argument("--dtypes", default="float32,bfloat16")
+    parser.add_argument("--tune", action="store_true", help="print the full tile sweep")
+    parser.add_argument("--iters", type=int, default=20)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from puzzlelib_tpu.backend.device import ensureInit
+    from puzzlelib_tpu.ops.pallas import matmul as pm
+
+    ensureInit()
+
+    onTpu = jax.devices()[0].platform not in ("cpu", )
+    if not onTpu:
+        print("# CPU platform: Pallas timings skipped (interpret mode only)")
+
+    np2dt = {"float32": np.float32, "bfloat16": np.dtype(ml_dtypes.bfloat16),
+             "int8": np.int8}
+
+    for size in [int(s) for s in args.sizes.split(",")]:
+        for dtname in args.dtypes.split(","):
+            dt = np2dt[dtname]
+            flops = 2.0 * size ** 3
+
+            if dtname == "int8":
+                a = jnp.ones((size, size), dt)
+                b = jnp.ones((size, size), dt)
+                xla = jax.jit(lambda x, y: jax.lax.dot_general(
+                    x, y, (((1, ), (0, )), ((), ())), preferred_element_type=jnp.int32))
+            else:
+                a = jnp.asarray(np.random.randn(size, size), dt)
+                b = jnp.asarray(np.random.randn(size, size), dt)
+                xla = jax.jit(lambda x, y: jnp.dot(x, y))
+
+            xlaSec = timeFn(lambda: xla(a, b), args.iters)
+            line = "%5d %8s | xla %7.2f TF/s (%4.1f%% peak)" % (
+                size, dtname, flops / xlaSec / 1e12, 100 * flops / xlaSec / PEAKS[dtname])
+
+            if dtname != "int8" and onTpu:
+                if args.tune:
+                    for bm, bn, bk in pm._TILE_CANDIDATES:
+                        if bm > size or bn > size or bk > size:
+                            continue
+                        try:
+                            sec = timeFn(lambda: pm.matmul(a, b, bm=bm, bn=bn, bk=bk), args.iters)
+                            print("    tile (%4d,%4d,%4d): %7.2f TF/s" % (bm, bn, bk, flops / sec / 1e12))
+                        except Exception as exc:
+                            print("    tile (%4d,%4d,%4d): failed (%s)" % (bm, bn, bk, str(exc)[:60]))
+
+                tiles = pm.autotune(size, size, size, dtype=dt, iters=max(5, args.iters // 2))
+                palSec = timeFn(lambda: pm.matmul(a, b, bm=tiles[0], bn=tiles[1], bk=tiles[2]), args.iters)
+                line += " | pallas %7.2f TF/s (%4.1f%% peak, tile %s)" % (
+                    flops / palSec / 1e12, 100 * flops / palSec / PEAKS[dtname], tiles)
+
+            print(line)
+
+
+if __name__ == "__main__":
+    main()

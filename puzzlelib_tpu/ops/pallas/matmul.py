@@ -87,6 +87,10 @@ def matmulPadded(a, b, bm=512, bn=512, bk=512, interpret=False):
 _TILE_CANDIDATES = [
     (256, 256, 256), (512, 512, 512), (512, 512, 1024), (1024, 512, 512),
     (512, 1024, 512), (256, 512, 512), (512, 256, 512), (1024, 1024, 512),
+    # wide-K / bf16-friendly shapes: fewer revisits of the accumulator, more
+    # MXU work per VMEM byte (v5e VMEM budget allows up to ~1024^2 f32 acc)
+    (512, 1024, 1024), (1024, 1024, 1024), (256, 1024, 1024), (512, 512, 2048),
+    (1024, 256, 1024), (256, 256, 2048),
 ]
 
 _tuned = {}

@@ -54,8 +54,23 @@ def timeSteps(stepFn, sync, warmup=5, iters=30):
     return (time.perf_counter() - start) / iters
 
 
+def enableCompileCache():
+    """Persistent XLA executable cache: the axon remote-compile path can take
+    minutes per program cold, so bench warms a local cache under the repo."""
+    import jax
+
+    cachedir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cachedir, exist_ok=True)
+
+    jax.config.update("jax_compilation_cache_dir", cachedir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def main():
     import jax
+
+    enableCompileCache()
 
     from puzzlelib_tpu.backend import gpuarray
     from puzzlelib_tpu.cost import CrossEntropy

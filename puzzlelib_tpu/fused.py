@@ -152,6 +152,41 @@ def tensorParallelSpecs(module, cost, optimizer, mesh, modelAxis="model"):
     return [NamedSharding(mesh, spec) for spec in specs]
 
 
+def zeroOptimizerSpecs(module, cost, optimizer, mesh, dataAxis="data"):
+    """ZeRO-1-style sharding: optimizer state buffers shard over the DATA
+    axis (first evenly-divisible dim), params/grads stay replicated.
+
+    The reference's grid DP (/root/reference/Grid.py) replicates optimizer
+    state on every GPU; with GSPMD the state shards instead — each device
+    holds 1/N of every momentum/variance slot and XLA inserts the gather when
+    the weight update needs it.  Requires ``setupOn(useGlobalState=False)``
+    (per-var state entities, same as tensorParallelSpecs).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from puzzlelib_tpu.variable import Variable
+
+    buffers, meta = collectStateBuffers(module, cost, optimizer, withMeta=True)
+    axisSize = mesh.shape[dataAxis]
+
+    specs = []
+    for buf, (owner, name) in zip(buffers, meta):
+        spec = P()
+
+        if isinstance(owner, Variable):                # an optimizer state slot
+            dims = [None] * buf.ndim
+            for d in range(buf.ndim):
+                if buf.shape[d] % axisSize == 0 and buf.shape[d] >= axisSize:
+                    dims[d] = dataAxis
+                    break
+
+            spec = P(*dims)
+
+        specs.append(NamedSharding(mesh, spec))
+
+    return specs
+
+
 class FusedStep:
     """Compile (module, cost, optimizer) into a single jitted train step.
 

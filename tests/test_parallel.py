@@ -171,3 +171,62 @@ def testFusedTensorParallelMatchesSingle():
         stepS(data, target)
 
     assert np.allclose(shardedW, seqS[0].W.get(), atol=1e-5), "tensor parallel diverges"
+
+
+def testFusedZeroOptimizerSharding():
+    """ZeRO-1: optimizer state sharded over the data axis, numerics unchanged."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding
+
+    from puzzlelib_tpu.containers import Sequential
+    from puzzlelib_tpu.modules import Linear, Activation, relu
+    from puzzlelib_tpu.cost import MSE
+    from puzzlelib_tpu.optimizers import Adam
+    from puzzlelib_tpu.fused import FusedStep, zeroOptimizerSpecs
+
+    ndev = len(jax.devices())
+    mesh = Mesh(np.array(jax.devices()), axis_names=("data", ))
+
+    def build():
+        np.random.seed(17)
+        seq = Sequential()
+        seq.append(Linear(8, 8 * ndev))
+        seq.append(Activation(relu))
+        seq.append(Linear(8 * ndev, 4))
+        return seq
+
+    np.random.seed(18)
+    data = np.random.randn(2 * ndev, 8).astype(np.float32)
+    target = np.random.randn(2 * ndev, 4).astype(np.float32)
+
+    seq = build()
+    opt = Adam(alpha=0.01)
+    opt.setupOn(seq, useGlobalState=False)
+    cost = MSE()
+
+    shardings = zeroOptimizerSpecs(seq, cost, opt, mesh, dataAxis="data")
+    step = FusedStep(seq, cost, opt, mesh=mesh, dataAxis="data", stateShardings=shardings)
+
+    for _ in range(3):
+        step(data, target)
+
+    # at least one optimizer state buffer must actually be sharded on "data"
+    sharded = 0
+    for name, state in opt.states.items():
+        for entity in state.values():
+            sh = entity.jax.sharding
+            if isinstance(sh, NamedSharding) and "data" in (sh.spec or ()):
+                sharded += 1
+    assert sharded > 0, "no optimizer state buffer ended up sharded"
+
+    # numerics must match the single-device run
+    seqS = build()
+    optS = Adam(alpha=0.01)
+    optS.setupOn(seqS, useGlobalState=False)
+    costS = MSE()
+    stepS = FusedStep(seqS, costS, optS)
+
+    for _ in range(3):
+        stepS(data, target)
+
+    assert np.allclose(seq[0].W.get(), seqS[0].W.get(), atol=1e-5), "ZeRO sharding changed numerics"

@@ -78,7 +78,7 @@ def main():
     from puzzlelib_tpu.fused import FusedStep
 
     np.random.seed(0)
-    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
 
     data = np.random.randn(batch, 1, 28, 28).astype(np.float32)
     labels = np.random.randint(0, 10, size=(batch, )).astype(np.int32)

@@ -9,6 +9,9 @@ import numpy as np
 
 def main(datashape=(128, 32, 64, 64), Wshape=(64, 32, 11, 11), stride=1, pad=0):
     from puzzlelib_tpu.backend.dnn import convNdbenchmark
+    from puzzlelib_tpu.benchmarks import enableCompileCache
+
+    enableCompileCache()
 
     nd = len(datashape) - 2
     stride, pad, dilation = (stride, ) * nd, (pad, ) * nd, (1, ) * nd

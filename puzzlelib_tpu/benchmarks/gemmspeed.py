@@ -41,9 +41,11 @@ def main():
     import ml_dtypes
 
     from puzzlelib_tpu.backend.device import ensureInit
+    from puzzlelib_tpu.benchmarks import enableCompileCache
     from puzzlelib_tpu.ops.pallas import matmul as pm
 
     ensureInit()
+    enableCompileCache()
 
     onTpu = jax.devices()[0].platform not in ("cpu", )
     if not onTpu:

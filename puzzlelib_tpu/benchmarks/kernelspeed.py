@@ -80,7 +80,10 @@ def benchBatchedGemm():
 
 def main():
     from puzzlelib_tpu.backend.device import ensureInit
+    from puzzlelib_tpu.benchmarks import enableCompileCache
+
     ensureInit()
+    enableCompileCache()
 
     benchUpsample()
     benchMatVec()

@@ -45,6 +45,9 @@ def main():
     args = parser.parse_args()
 
     import jax
+
+    from puzzlelib_tpu.benchmarks import enableCompileCache
+    enableCompileCache()
     import ml_dtypes
 
     from puzzlelib_tpu.backend import gpuarray

@@ -92,9 +92,13 @@ def main():
     step = FusedStep(net, cost, optimizer)
     dataDev, labelsDev = gpuarray.to_gpu(data), gpuarray.to_gpu(labels)
 
+    # sync via a tiny host readback: on relayed PJRT backends
+    # ``block_until_ready`` can return before execution finishes, so the only
+    # honest fence is a device->host read of a buffer the step wrote (the
+    # 40-float bias is ~free to transfer)
     fusedSec = timeSteps(
         lambda: step(dataDev, labelsDev),
-        lambda: jax.block_until_ready(step.buffers[0].jax),
+        lambda: np.asarray(net[-1].b.jax),
     )
 
     # -- eager (reference-style per-op dispatch) baseline --------------------
@@ -110,7 +114,7 @@ def main():
         optE.update()
         netE.reset()
 
-    eagerSec = timeSteps(eagerStep, lambda: jax.block_until_ready(netE[0].W.jax), warmup=2, iters=5)
+    eagerSec = timeSteps(eagerStep, lambda: np.asarray(netE[-1].b.jax), warmup=2, iters=5)
 
     imagesPerSec = batch / fusedSec
 

@@ -70,12 +70,13 @@ def main():
         dev = gpuarray.to_gpu(data)
 
         out = net(dev)                                       # compile
-        jax.block_until_ready(out.jax)
+        np.asarray(out.jax)
 
         start = time.perf_counter()
         for _ in range(args.iters):
             out = net(dev)
-        jax.block_until_ready(out.jax)
+        # device->host read: the only honest fence on relayed PJRT backends
+        np.asarray(out.jax)
         secs = (time.perf_counter() - start) / args.iters
         mode = "infer"
 
@@ -86,13 +87,16 @@ def main():
 
         devData, devLabels = gpuarray.to_gpu(data), gpuarray.to_gpu(labels)
 
+        syncBuf = min(step.buffers, key=lambda b: b.nbytes)
+
         step(devData, devLabels)                             # compile
-        jax.block_until_ready(step.buffers[0].jax)
+        np.asarray(syncBuf.jax)
 
         start = time.perf_counter()
         for _ in range(args.iters):
             step(devData, devLabels)
-        jax.block_until_ready(step.buffers[0].jax)
+        # tiny device->host read: the only honest fence on relayed PJRT backends
+        np.asarray(syncBuf.jax)
         secs = (time.perf_counter() - start) / args.iters
         mode = "train"
 

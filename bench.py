@@ -79,11 +79,12 @@ def main():
 
     np.random.seed(0)
     batch = int(os.environ.get("BENCH_BATCH", "128"))
+    ksteps = int(os.environ.get("BENCH_STEPS", "16"))
 
-    data = np.random.randn(batch, 1, 28, 28).astype(np.float32)
-    labels = np.random.randint(0, 10, size=(batch, )).astype(np.int32)
+    data = np.random.randn(ksteps * batch, 1, 28, 28).astype(np.float32)
+    labels = np.random.randint(0, 10, size=(ksteps * batch, )).astype(np.int32)
 
-    # -- fused path ----------------------------------------------------------
+    # -- fused path: K train steps per dispatch (lax.scan inside the program) --
     net = buildNet()
     optimizer = MomentumSGD(learnRate=0.01, momRate=0.9)
     optimizer.setupOn(net, useGlobalState=True)
@@ -97,9 +98,10 @@ def main():
     # honest fence is a device->host read of a buffer the step wrote (the
     # 40-float bias is ~free to transfer)
     fusedSec = timeSteps(
-        lambda: step(dataDev, labelsDev),
+        lambda: step.many(dataDev, labelsDev, steps=ksteps),
         lambda: np.asarray(net[-1].b.jax),
-    )
+        warmup=2, iters=10,
+    ) / ksteps
 
     # -- eager (reference-style per-op dispatch) baseline --------------------
     netE = buildNet()
@@ -107,8 +109,11 @@ def main():
     optE.setupOn(netE, useGlobalState=True)
     costE = CrossEntropy()
 
+    dataDev1 = gpuarray.to_gpu(data[:batch])
+    labelsDev1 = gpuarray.to_gpu(labels[:batch])
+
     def eagerStep():
-        grad = costE(netE(dataDev), labelsDev, queryError=False)
+        grad = costE(netE(dataDev1), labelsDev1, queryError=False)
         optE.zeroGradParams()
         netE.backward(grad, updGrad=False)
         optE.update()

@@ -220,6 +220,18 @@ class FusedStep:
 
         self.mesh = mesh
         self._jitted = jax.jit(self._traceStep, **jitKwargs)
+
+        manyKwargs = dict(jitKwargs)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            stepSharded = NamedSharding(mesh, P(None, dataAxis))
+            manyKwargs["in_shardings"] = (
+                jitKwargs["in_shardings"][0], None, repl, repl, stepSharded, stepSharded
+            )
+
+        self._jittedMany = jax.jit(self._traceMany, **manyKwargs)
         self._seed = int(np.random.randint(1 << 31))
         self._calls = 0
 
@@ -261,6 +273,54 @@ class FusedStep:
             self.optimizer.t = optT
 
         return [buf.jax for buf in self.buffers]
+
+    def _traceMany(self, state, hyper, t0, key, dataK, targetK):
+        """K train steps inside ONE program: lax.scan over the leading step
+        dim of (dataK, targetK) carrying the state buffers — one dispatch for
+        K steps, amortizing per-execute host/relay latency."""
+        def body(st, xs):
+            d, tgt, i = xs
+            stepKey = jax.random.fold_in(key, i)
+            return self._traceStep(st, hyper, t0 + i.astype(jnp.float32), stepKey, d, tgt), None
+
+        state, _ = jax.lax.scan(body, list(state), (dataK, targetK, jnp.arange(dataK.shape[0])))
+        return state
+
+    def many(self, data, target, steps):
+        """Run ``steps`` consecutive train steps in one XLA dispatch.
+
+        ``data``/``target`` hold ``steps`` minibatches stacked on the leading
+        dim: (steps * b, ...) split evenly, or already (steps, b, ...).
+        """
+        data = data.jax if isinstance(data, GPUArray) else jnp.asarray(data)
+        target = target.jax if isinstance(target, GPUArray) else jnp.asarray(target)
+
+        if data.shape[0] != steps:                    # (steps*b, ...) layout
+            if data.shape[0] % steps != 0:
+                raise ValueError("Leading dim %d not divisible into %d steps" %
+                                 (data.shape[0], steps))
+            b = data.shape[0] // steps
+            data = data.reshape((steps, b) + data.shape[1:])
+            target = target.reshape((steps, b) + target.shape[1:])
+
+        self._calls += 1
+        t0 = float(self.optimizer.t + 1)
+
+        self.optimizer.t += steps
+        self.cost.reset()
+        self.cost.dirty = True
+        self.cost.updateState(int(data.shape[0] * data.shape[1]))
+
+        state = [buf.jax for buf in self.buffers]
+        key = jax.random.fold_in(jax.random.key(self._seed), self._calls)
+
+        out = self._jittedMany(state, self._hyper(), jnp.asarray(t0, jnp.float32), key, data, target)
+
+        for buf, arr in zip(self.buffers, out):
+            buf._write(arr)
+
+        self.module.reset()
+        return self.cost
 
     def __call__(self, data, target):
         data = data.jax if isinstance(data, GPUArray) else jnp.asarray(data)

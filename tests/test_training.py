@@ -214,3 +214,46 @@ def testFusedTrainerWithRnnAndBf16Mode():
     x = gpuarray.to_gpu(np.random.randn(2, 8).astype(bf16))
     out = seq16(x)
     assert out.dtype == np.float32 and out.shape == (2, 4)
+
+
+def testFusedManyMatchesSequentialSteps():
+    """K steps via FusedStep.many (one lax.scan dispatch) == K sequential calls."""
+    from puzzlelib_tpu.fused import FusedStep
+    from puzzlelib_tpu.optimizers import Adam
+
+    np.random.seed(30)
+
+    def build():
+        np.random.seed(31)
+        seq = Sequential()
+        seq.append(Linear(8, 6))
+        seq.append(Activation(relu))
+        seq.append(Linear(6, 4))
+        return seq
+
+    K, b = 4, 8
+    data = np.random.randn(K * b, 8).astype(np.float32)
+    target = np.random.randn(K * b, 4).astype(np.float32)
+
+    seqA = build()
+    optA = Adam(alpha=0.02)
+    optA.setupOn(seqA, useGlobalState=True)
+    stepA = FusedStep(seqA, MSE(), optA)
+
+    for k in range(K):
+        stepA(data[k * b:(k + 1) * b], target[k * b:(k + 1) * b])
+
+    seqB = build()
+    optB = Adam(alpha=0.02)
+    optB.setupOn(seqB, useGlobalState=True)
+    stepB = FusedStep(seqB, MSE(), optB)
+
+    stepB.many(data, target, steps=K)
+
+    assert np.allclose(seqA[0].W.get(), seqB[0].W.get(), atol=1e-6), \
+        "many() diverged from sequential steps"
+    assert optA.t == optB.t
+
+    import pytest
+    with pytest.raises(ValueError, match="divisible"):
+        stepB.many(data[:K * b - 1], target[:K * b - 1], steps=K)

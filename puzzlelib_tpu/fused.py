@@ -352,16 +352,65 @@ from puzzlelib_tpu.handlers.trainer import Trainer
 
 
 class FusedTrainer(Trainer):
-    """Drop-in Trainer running the single-executable fused step."""
+    """Drop-in Trainer running the single-executable fused step.
 
-    def __init__(self, mod, cost, optimizer, onBatchFinish=None, batchsize=128):
+    ``stepsPerDispatch > 1`` groups that many consecutive minibatches into one
+    ``FusedStep.many`` dispatch (lax.scan inside the program) — per-dispatch
+    host latency amortizes across K steps.  Grouping only engages when no
+    per-batch callback is set; leftover/partial batches use the single step.
+    """
+
+    def __init__(self, mod, cost, optimizer, onBatchFinish=None, batchsize=128, stepsPerDispatch=1):
         super().__init__(mod, cost, optimizer, onBatchFinish, batchsize)
         self.step = None
+        self.stepsPerDispatch = stepsPerDispatch
+
+    def _ensureStep(self):
+        if self.step is None:
+            self.step = FusedStep(self.module, self.cost, self.optimizer)
+
+    def handle(self, data, state=None, random=True):
+        K = self.stepsPerDispatch
+
+        if K <= 1 or self.onBatchFinish is not None:
+            super().handle(data, state, random=random)
+            return
+
+        self._ensureStep()
+
+        dat, target = data
+        datasize = dat.shape[0]
+
+        nFull = datasize // self.batchsize
+        self.totalBatches = (datasize + self.batchsize - 1) // self.batchsize
+
+        order = np.random.permutation(nFull) if random else np.arange(nFull)
+
+        done = 0
+        for start in range(0, nFull - nFull % K, K):
+            idx = np.concatenate([
+                np.arange(n * self.batchsize, (n + 1) * self.batchsize)
+                for n in order[start:start + K]
+            ])
+
+            chunkData = GPUArray(jnp.take(dat.jax, idx, axis=0))
+            chunkTarget = GPUArray(jnp.take(target.jax, idx, axis=0))
+
+            self.step.many(chunkData, chunkTarget, steps=K)
+            done += K
+            self.currBatch = done
+
+        # leftover full batches + the final partial batch via single steps
+        for n in list(order[nFull - nFull % K:nFull]) + ([nFull] if datasize % self.batchsize else []):
+            batch = self.sliceData(data, n, self.batchsize, postSlice=lambda d: d)
+            self.step(*batch)
+            done += 1
+            self.currBatch = done
+
+        self.module.reset()
 
     def handleBatch(self, batch, idx, state):
         data, target = batch
 
-        if self.step is None:
-            self.step = FusedStep(self.module, self.cost, self.optimizer)
-
+        self._ensureStep()
         self.step(data, target)

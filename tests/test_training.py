@@ -257,3 +257,32 @@ def testFusedManyMatchesSequentialSteps():
     import pytest
     with pytest.raises(ValueError, match="divisible"):
         stepB.many(data[:K * b - 1], target[:K * b - 1], steps=K)
+
+
+def testFusedTrainerStepsPerDispatch():
+    """Grouped many()-dispatch trainer: same step count, loss decreases."""
+    from puzzlelib_tpu.fused import FusedTrainer
+    from puzzlelib_tpu.optimizers import MomentumSGD
+
+    np.random.seed(50)
+    seq = Sequential()
+    seq.append(Linear(8, 16))
+    seq.append(Activation(relu))
+    seq.append(Linear(16, 4))
+
+    opt = MomentumSGD(learnRate=0.05)
+    opt.setupOn(seq, useGlobalState=True)
+    cost = MSE()
+
+    trainer = FusedTrainer(seq, cost, opt, batchsize=16, stepsPerDispatch=2)
+
+    data = np.random.randn(75, 8).astype(np.float32)     # 4 full + 1 partial batch
+    target = np.random.randn(75, 4).astype(np.float32)
+
+    errs = []
+    for epoch in range(6):
+        trainer.trainFromHost(data, target, macroBatchSize=75, random=(epoch % 2 == 0))
+        errs.append(cost.getMeanError())
+
+    assert errs[-1] < errs[0]
+    assert opt.t == 6 * 5, opt.t

@@ -32,6 +32,8 @@ from puzzlelib_tpu.modules.identity import Identity
 from puzzlelib_tpu.modules.instancenorm2d import InstanceNorm2D
 from puzzlelib_tpu.modules.kmaxpool import KMaxPool
 from puzzlelib_tpu.modules.lcn import LCN
+from puzzlelib_tpu.modules.layernorm import LayerNorm
+from puzzlelib_tpu.modules.attention import MultiHeadAttention
 from puzzlelib_tpu.modules.linear import Linear
 from puzzlelib_tpu.modules.maplrn import MapLRN
 from puzzlelib_tpu.modules.maxpool1d import MaxPool1D

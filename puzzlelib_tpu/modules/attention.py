@@ -1,0 +1,111 @@
+"""Multi-head self-attention module.
+
+Not present in the reference (CNN/RNN era) — added for the transformer stack,
+with the framework's eager protocol (explicit updateData/updateGrad/
+accGradParams over pure jitted ops in puzzlelib_tpu/ops/attention.py).
+``Config.attentionAlgo = "flash"`` (or ``attnAlgo="flash"``) routes the
+inference forward through the Pallas online-softmax kernel.
+"""
+
+import numpy as np
+
+from puzzlelib_tpu.backend import gpuarray
+from puzzlelib_tpu.variable import Variable
+from puzzlelib_tpu.modules.module import ModuleError, Module
+from puzzlelib_tpu.ops import attention as attnops
+
+
+class MultiHeadAttention(Module):
+    def __init__(self, embsize, nheads, causal=False, useBias=True, wscale=1.0,
+                 initscheme=None, attnAlgo="xla", name=None):
+        super().__init__(name)
+        self.registerBlueprint(locals())
+
+        if embsize % nheads != 0:
+            raise ModuleError("Embedding size %d not divisible by %d heads" % (embsize, nheads))
+
+        self.embsize = embsize
+        self.nheads = nheads
+        self.causal = causal
+        self.useBias = useBias
+        self.attnAlgo = attnAlgo
+
+        shape = (embsize, embsize)
+        for wname in ("Wq", "Wk", "Wv", "Wo"):
+            W = self.createTensorWithScheme(initscheme, shape, wscale, factorShape=shape)
+            self.setVar(wname, Variable(
+                gpuarray.empty(shape, dtype=self.calctype) if W is None else gpuarray.to_gpu(W)
+            ))
+
+        if useBias:
+            for bname in ("bq", "bk", "bv", "bo"):
+                self.setVar(bname, Variable(gpuarray.zeros((embsize, ), dtype=self.calctype)))
+
+    def _weights(self):
+        ws = [self.vars[n].data.jax for n in ("Wq", "Wk", "Wv", "Wo")]
+        bs = [self.vars[n].data.jax for n in ("bq", "bk", "bv", "bo")] if self.useBias \
+            else [None] * 4
+        return ws, bs
+
+    def updateData(self, data):
+        (wq, wk, wv, wo), (bq, bk, bv, bo) = self._weights()
+
+        # flash kernel: inference forward only, and only where Pallas compiles
+        # (CPU supports interpret mode only -> fall back to the XLA path)
+        algo = self.attnAlgo if not self.train else "xla"
+        if algo == "flash":
+            import jax
+            if jax.devices()[0].platform == "cpu":
+                algo = "xla"
+
+        self.data = gpuarray.GPUArray(attnops.mhaForward(
+            data.jax, wq, wk, wv, wo, bq, bk, bv, bo,
+            nheads=self.nheads, causal=self.causal, algo=algo
+        ))
+
+    def _vjp(self, grad):
+        if getattr(self, "_vjpCache", None) is None:
+            (wq, wk, wv, wo), (bq, bk, bv, bo) = self._weights()
+            self._vjpCache = attnops.mhaBackward(
+                self.inData.jax, wq, wk, wv, wo, bq, bk, bv, bo, grad.jax,
+                nheads=self.nheads, causal=self.causal
+            )
+        return self._vjpCache
+
+    def updateGrad(self, grad):
+        self.grad = gpuarray.GPUArray(self._vjp(grad)[0])
+
+    def accGradParams(self, grad, scale=1.0, momentum=0.0):
+        grads = self._vjp(grad)[1:]
+
+        names = ("Wq", "Wk", "Wv", "Wo") + (("bq", "bk", "bv", "bo") if self.useBias else ())
+        for name, g in zip(names, grads):
+            var = self.vars[name]
+            var.grad._write(momentum * var.grad.jax + scale * g)
+
+    def reset(self):
+        super().reset()
+        self._vjpCache = None
+
+    def checkDataShape(self, shape):
+        if len(shape) != 3:
+            raise ModuleError("Data must be 3d (batch, seq, emb)")
+        if shape[2] != self.embsize:
+            raise ModuleError("Expected embedding size %d, got %d" % (self.embsize, shape[2]))
+
+    def checkGradShape(self, shape):
+        self.checkDataShape(shape)
+
+    def dataShapeFrom(self, shape):
+        return shape
+
+    def gradShapeFrom(self, shape):
+        return shape
+
+    def calcMode(self, T):
+        dtypes = {dtype for dtype, _ in gpuarray.dtypesSupported()}
+        if T not in dtypes:
+            raise ModuleError("Unsupported dtype %s" % T)
+
+        self.castVarsTo(T)
+        self.calctype = T

@@ -82,13 +82,19 @@ def _mulMatrixOnMatrix(A, B, out=None, transpA=False, transpB=False, alpha=1.0, 
     if not transpA and not transpB and not hasOut and alpha == 1.0 and _usePallasGemm(A, B):
         from puzzlelib_tpu.ops.pallas import matmul as _plmm, onTpu
 
-        result = _plmm.matmulPadded(A.jax, B.jax, interpret=not onTpu())
+        try:
+            result = _plmm.matmulPadded(A.jax, B.jax, interpret=not onTpu())
+        except Exception:
+            # pallas compile failure (e.g. flaky remote-compile service):
+            # fall back to the XLA dot rather than failing the user's gemm
+            result = None
 
-        if out is None:
-            return GPUArray(result)
+        if result is not None:
+            if out is None:
+                return GPUArray(result)
 
-        out._write(result)
-        return out
+            out._write(result)
+            return out
 
     result = _ops.gemm(A.jax, B.jax, out.jax if hasOut else None, alpha, beta,
                        transpA=transpA, transpB=transpB, hasOut=hasOut)

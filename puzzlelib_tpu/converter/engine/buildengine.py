@@ -143,7 +143,17 @@ def buildEngine(net, inshape, savepath, dtype=DataType.float32, name=None, retur
         castInputTo = None
     else:
         computeDtype = np.dtype(jnp.bfloat16) if dtype == DataType.bfloat16 else np.dtype(dtype)
-        castInputTo = computeDtype
+        castInputTo = None
+
+        if computeDtype != np.dtype(np.float32):
+            # half-precision engines: trace a calcMode-cast CLONE so the
+            # user's f32 net keeps full-precision weights
+            from puzzlelib_tpu import blueprint as _blueprint
+
+            net = _blueprint.load(net.save(withBlueprint=True))
+            net.evalMode()
+            net.calcMode(computeDtype.type)
+            castInputTo = computeDtype
 
     dtype = computeDtype
 

@@ -198,3 +198,31 @@ def testInt8EngineRequiresCalibrator(tmp_path):
 
     with pytest.raises(ValueError, match="DataCalibrator"):
         buildEngine(net, inshape=(1, 4), savepath=str(tmp_path), dtype="int8")
+
+
+def testHalfPrecisionEngines(tmp_path):
+    """bf16/fp16 engines trace a calcMode-cast clone; the user's f32 net is untouched."""
+    from puzzlelib_tpu.backend import gpuarray
+    from puzzlelib_tpu.containers import Sequential
+    from puzzlelib_tpu.modules import Conv2D, Activation, relu, Flatten, Linear
+    from puzzlelib_tpu.converter.engine import buildEngine
+
+    np.random.seed(13)
+    net = Sequential(name="hp")
+    net.append(Conv2D(3, 4, 3))
+    net.append(Activation(relu))
+    net.append(Flatten())
+    net.append(Linear(4 * 6 * 6, 5))
+
+    x = np.random.randn(2, 3, 8, 8).astype(np.float32)
+
+    f32 = buildEngine(net, inshape=(2, 3, 8, 8), savepath=str(tmp_path),
+                      dtype="float32")(gpuarray.to_gpu(x)).get()
+
+    for dt in ("bfloat16", "float16"):
+        out = buildEngine(net, inshape=(2, 3, 8, 8), savepath=str(tmp_path),
+                          dtype=dt)(gpuarray.to_gpu(x)).get()
+        cos = float(np.sum(out * f32) / (np.linalg.norm(out) * np.linalg.norm(f32)))
+        assert out.dtype == np.float32 and cos > 0.999, (dt, cos)
+
+    assert net[0].W.get().dtype == np.float32, "engine build mutated the source net"

@@ -32,7 +32,8 @@ def _flashKernel(qRef, kRef, vRef, oRef, *, blockK, scale, causal, bq):
         k = kRef[pl.dslice(ik * blockK, blockK), :].astype(jnp.float32)
         v = vRef[pl.dslice(ik * blockK, blockK), :].astype(jnp.float32)
 
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)     # (bq, blockK)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)         # (bq, blockK)
 
         if causal:
             qPos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, blockK), 0)
@@ -44,7 +45,8 @@ def _flashKernel(qRef, kRef, vRef, oRef, *, blockK, scale, causal, bq):
         corr = jnp.exp(m - mNew)
 
         lNew = l * corr + jnp.sum(p, axis=1)
-        accNew = acc * corr[:, None] + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        accNew = acc * corr[:, None] + jnp.dot(p, v, preferred_element_type=jnp.float32,
+                                               precision=jax.lax.Precision.DEFAULT)
 
         return accNew, mNew, lNew
 

@@ -22,7 +22,11 @@ def _matmulKernel(aRef, bRef, outRef, accRef, *, nk):
     def _():
         accRef[...] = jnp.zeros_like(accRef)
 
-    accRef[...] += jnp.dot(aRef[...], bRef[...], preferred_element_type=jnp.float32)
+    # pin DEFAULT precision: the global jax_default_matmul_precision=highest
+    # asks Mosaic for a bf16x6-pass dot it cannot lower (the MXU kernel
+    # already accumulates exactly in f32)
+    accRef[...] += jnp.dot(aRef[...], bRef[...], preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.DEFAULT)
 
     @pl.when(k == nk - 1)
     def _():

@@ -56,15 +56,10 @@ def timeSteps(stepFn, sync, warmup=5, iters=30):
 
 def enableCompileCache():
     """Persistent XLA executable cache: the axon remote-compile path can take
-    minutes per program cold, so bench warms a local cache under the repo."""
-    import jax
-
-    cachedir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    os.makedirs(cachedir, exist_ok=True)
-
-    jax.config.update("jax_compilation_cache_dir", cachedir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    minutes per program cold, so bench warms a local cache under the repo
+    (TPU only — CPU AOT entries are machine-feature-pinned)."""
+    from puzzlelib_tpu.benchmarks import enableCompileCache as _enable
+    _enable()
 
 
 def main():

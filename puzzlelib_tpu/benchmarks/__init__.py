@@ -8,6 +8,9 @@ def enableCompileCache():
     compiles can take minutes cold, so harness re-runs hit a local cache."""
     import jax
 
+    if jax.default_backend() == "cpu":
+        return          # CPU AOT entries are machine-feature-pinned; cache TPU only
+
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     cachedir = os.path.join(root, ".jax_cache")
     os.makedirs(cachedir, exist_ok=True)

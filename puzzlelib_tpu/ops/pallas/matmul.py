@@ -22,11 +22,16 @@ def _matmulKernel(aRef, bRef, outRef, accRef, *, nk):
     def _():
         accRef[...] = jnp.zeros_like(accRef)
 
-    # pin DEFAULT precision: the global jax_default_matmul_precision=highest
-    # asks Mosaic for a bf16x6-pass dot it cannot lower (the MXU kernel
-    # already accumulates exactly in f32)
+    # Pin the dot precision explicitly per dtype (the global
+    # jax_default_matmul_precision=highest asks Mosaic for a multi-pass bf16
+    # dot it cannot lower):
+    #   f32 inputs  -> HIGHEST: full f32 mantissa via MXU passes, numerics
+    #                  match the XLA dot under the framework's default
+    #   bf16/f16    -> DEFAULT: single MXU pass, exact for bf16 operands,
+    #                  f32 accumulation in the VMEM scratch
+    prec = jax.lax.Precision.HIGHEST if aRef.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
     accRef[...] += jnp.dot(aRef[...], bRef[...], preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.DEFAULT)
+                           precision=prec)
 
     @pl.when(k == nk - 1)
     def _():

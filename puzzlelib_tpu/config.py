@@ -64,6 +64,9 @@ debugAllocator = False
 # (pallas for large aligned shapes where the autotuner measured a win).
 gemmAlgo = os.environ.get("PUZZLE_GEMM_ALGO", "xla")
 
+# attention inference kernel: "xla" or "flash" (Pallas online-softmax)
+attentionAlgo = os.environ.get("PUZZLE_ATTENTION_ALGO", "xla")
+
 
 def isCPUBased(bnd):
     return bnd == Backend.cpu

@@ -17,7 +17,7 @@ from puzzlelib_tpu.ops import attention as attnops
 
 class MultiHeadAttention(Module):
     def __init__(self, embsize, nheads, causal=False, useBias=True, wscale=1.0,
-                 initscheme=None, attnAlgo="xla", name=None):
+                 initscheme=None, attnAlgo=None, name=None):
         super().__init__(name)
         self.registerBlueprint(locals())
 
@@ -28,7 +28,8 @@ class MultiHeadAttention(Module):
         self.nheads = nheads
         self.causal = causal
         self.useBias = useBias
-        self.attnAlgo = attnAlgo
+        from puzzlelib_tpu import config as Config
+        self.attnAlgo = attnAlgo if attnAlgo is not None else Config.attentionAlgo
 
         shape = (embsize, embsize)
         for wname in ("Wq", "Wk", "Wv", "Wo"):

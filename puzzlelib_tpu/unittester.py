@@ -19,14 +19,19 @@ import sys
 
 
 def main(extraArgs=None):
-    os.environ.setdefault("PUZZLE_BACKEND", "cpu")
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # force the CPU oracle explicitly: `python -m` imports the package (and
+    # config reads PUZZLE_BACKEND) before this function runs, and the shell
+    # may export JAX_PLATFORMS=axon — setdefault alone would silently leave
+    # the tests running through the TPU relay (1 device, minutes per compile)
+    os.environ["PUZZLE_BACKEND"] = "cpu"
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
     from puzzlelib_tpu import config as Config
+    Config.backend = Config.Backend.cpu
     Config.debugAllocator = True
 
     gc.set_debug(gc.DEBUG_UNCOLLECTABLE)

@@ -62,11 +62,13 @@ def _vectorL1Norm(x):
     return GPUArray(_ops.l1norm(x.jax))
 
 
+_pallasGemmBroken = False
+
+
 def _usePallasGemm(A, B):
-    if Config.gemmAlgo == "xla":
+    if Config.gemmAlgo == "xla" or _pallasGemmBroken:
         return False
 
-    m, k = (A.shape[1], A.shape[0]) if False else A.shape
     n = B.shape[1] if B.ndim == 2 else 0
 
     if Config.gemmAlgo == "pallas":
@@ -85,8 +87,11 @@ def _mulMatrixOnMatrix(A, B, out=None, transpA=False, transpB=False, alpha=1.0, 
         try:
             result = _plmm.matmulPadded(A.jax, B.jax, interpret=not onTpu())
         except Exception:
-            # pallas compile failure (e.g. flaky remote-compile service):
-            # fall back to the XLA dot rather than failing the user's gemm
+            # pallas compile failure (e.g. flaky remote-compile service): fall
+            # back to the XLA dot, and remember so every later gemm skips the
+            # failed-compile latency instead of re-paying it per call
+            global _pallasGemmBroken
+            _pallasGemmBroken = True
             result = None
 
         if result is not None:

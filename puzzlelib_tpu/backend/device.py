@@ -96,20 +96,18 @@ def timeKernel(func, args=(), kwargs=None, looplength=1000, log=True, logname=No
     def sync(result):
         # device->host read of one element: block_until_ready can return
         # before execution finishes on relayed PJRT backends, so the only
-        # honest fence is a tiny data-dependent readback
-        try:
-            import numpy as _np
+        # honest fence is a tiny data-dependent readback.  Readback failures
+        # propagate — a silently-skipped fence would time nothing.
+        import numpy as _np
 
-            leaves = jax.tree.leaves(result, is_leaf=lambda x: hasattr(x, "jax"))
-            for leaf in leaves:
-                arr = leaf.jax if hasattr(leaf, "jax") else leaf
-                if hasattr(arr, "ravel") and getattr(arr, "size", 0):
-                    _np.asarray(arr.ravel()[:1])
-                    break
-            else:
-                jax.block_until_ready(result)
-        except Exception:
-            pass
+        leaves = jax.tree.leaves(result, is_leaf=lambda x: hasattr(x, "jax"))
+        for leaf in leaves:
+            arr = leaf.jax if hasattr(leaf, "jax") else leaf
+            if hasattr(arr, "ravel") and getattr(arr, "size", 0):
+                _np.asarray(arr.ravel()[:1])
+                return result
+
+        jax.block_until_ready(result)
         return result
 
     if hotpass:

@@ -93,8 +93,13 @@ class RnnDesc:
     # -- compute -------------------------------------------------------------
 
     def _nextKey(self):
+        # The key must come from the global RNG facade: under a FusedStep trace
+        # it pulls a per-step key from fusedctx, so the traced step folds in a
+        # fresh dropout mask each iteration instead of constant-folding one.
+        from puzzlelib_tpu.rng import globalRng
+
         self._counter += 1
-        return jax.random.fold_in(jax.random.key(self.seed), self._counter)
+        return jax.random.fold_in(globalRng.nextKey(), self._counter)
 
     def forward(self, data, W, test=False, allocator=None):
         key = jax.random.key(self.seed) if test or self.dropout == 0.0 else self._nextKey()

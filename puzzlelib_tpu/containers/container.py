@@ -1,10 +1,14 @@
-"""Container base: a Module holding named children with recursive save/load
-(reference: /root/reference/Containers/Container.py)."""
+"""Container base: a Module owning named child modules.
 
-import json
+API parity target: /root/reference/Containers/Container.py.  The persistence
+schema is shared with leaf modules (see ``puzzlelib_tpu.hdf``): a container
+contributes its children's state recursively plus an ``attrs.<name>`` group
+for container-level attributes.  Unlike the reference, save/load here reuse
+Module's single orchestration path — containers only override the tree hooks
+(``_writeState`` / ``_readState``) and the error flavor.
+"""
 
 import numpy as np
-import h5py
 
 from puzzlelib_tpu.modules.module import Module, ModuleError
 
@@ -14,203 +18,187 @@ class ContainerError(ModuleError):
 
 
 class Container(Module):
+    _errorKind = "Container"
+    _errorType = ContainerError
+
     def __init__(self, name=None):
         super().__init__(name)
         self.modules = {}
 
-    def getBlueprint(self):
-        blueprint = super().getBlueprint()
-        blueprint["modules"] = {name: mod.getBlueprint() for name, mod in self.modules.items()}
-
-        return blueprint
+    # -- child registry ----------------------------------------------------------
 
     def append(self, mod, acquire=True):
-        mod.name = str(len(self.modules)) if mod.name is None else mod.name
+        if mod.name is None:
+            mod.name = str(len(self.modules))
 
-        if mod.name in self.modules:
-            if acquire:
-                mod.name = str(len(self.modules))
-            else:
+        elif mod.name in self.modules:
+            if not acquire:
                 raise ContainerError("Module with name '%s' is already in container" % mod.name)
+
+            mod.name = str(len(self.modules))
 
         self.modules[mod.name] = mod
         return self
 
     def removeModule(self, mod):
-        self.modules.pop(mod.name)
+        del self.modules[mod.name]
         return mod
 
+    def __getitem__(self, item):
+        if not isinstance(item, str):
+            raise NotImplementedError(type(item).__name__)
+
+        return self.modules[item]
+
     def getByName(self, name):
-        if name in self.modules:
-            return self.modules[name]
+        found = self.modules.get(name)
 
-        for m in self.modules.values():
-            if isinstance(m, Container):
-                mod = m.getByName(name)
-                if mod is not None:
-                    return mod
+        if found is None:
+            for child in self.modules.values():
+                if isinstance(child, Container):
+                    found = child.getByName(name)
+                    if found is not None:
+                        break
 
-        return None
+        return found
 
     def getAllByType(self, typ):
-        lst = []
+        matches = []
 
-        for mod in self.modules.values():
-            if isinstance(mod, typ):
-                lst.append(mod)
-            elif isinstance(mod, Container):
-                lst.extend(mod.getAllByType(typ))
+        for child in self.modules.values():
+            if isinstance(child, typ):
+                matches.append(child)
+            elif isinstance(child, Container):
+                matches.extend(child.getAllByType(typ))
 
-        return lst
+        return matches
 
-    def __getitem__(self, item):
-        if isinstance(item, str):
-            return self.modules[item]
+    # -- variable / attribute routing ------------------------------------------------
 
-        raise NotImplementedError(type(item).__name__)
+    def _route(self, name):
+        """Split 'child.rest' at the first dot."""
+        child, dot, rest = name.partition(".")
+
+        if not dot:
+            raise ContainerError("Cannot find dot-delimiter in variable name: %s" % name)
+
+        return self.modules[child], rest
 
     def setVar(self, name, var):
-        sep = name.index(".")
-        self.modules[name[:sep]].setVar(name[sep + 1:], var)
+        child, rest = self._route(name)
+        child.setVar(rest, var)
 
     def getVar(self, name):
-        sep = name.index(".")
-        return self.modules[name[:sep]].getVar(name[sep + 1:])
+        child, rest = self._route(name)
+        return child.getVar(rest)
 
     def getVarTable(self, vartable=None, name=None, root=True):
-        name = "" if root else name
-        vartable = {} if vartable is None else vartable
+        prefix = "" if root else name
 
-        for mod in self.modules.values():
-            mod.getVarTable(vartable, "%s%s." % (name, mod.name), root=False)
+        if vartable is None:
+            vartable = {}
+
+        for child in self.modules.values():
+            child.getVarTable(vartable, "%s%s." % (prefix, child.name), root=False)
 
         return vartable
 
+    def _attrKey(self, name):
+        return "%s.%s" % (self.name or "", name)
+
     def setAttr(self, name, attr):
-        ctrName = self.name if self.name else ""
-        self.attrs["%s.%s" % (ctrName, name)] = attr
+        self.attrs[self._attrKey(name)] = attr
 
     def getAttr(self, name):
-        ctrName = self.name if self.name else ""
-        return self.attrs["%s.%s" % (ctrName, name)]
+        return self.attrs[self._attrKey(name)]
 
     def hasAttr(self, name):
-        ctrName = self.name if self.name else ""
-        return ("%s.%s" % (ctrName, name)) in self.attrs
+        return self._attrKey(name) in self.attrs
+
+    # -- aggregate module protocol ------------------------------------------------------
 
     def zeroGradParams(self):
-        for mod in self.modules.values():
-            mod.zeroGradParams()
+        for child in self.modules.values():
+            child.zeroGradParams()
 
     def updateParams(self, learnRate):
-        for mod in self.modules.values():
-            mod.updateParams(learnRate)
+        for child in self.modules.values():
+            child.updateParams(learnRate)
 
     def genericCheckDataType(self, dtype):
         pass
 
-    def save(self, hdf=None, varlinks=None, name=None, compress="gzip", assumeUniqueNames=False, withBlueprint=False,
-             isRoot=True):
-        serialize = True if hdf is None else False
-
-        hdf = self.ensureHdf(hdf, "w")
-        varlinks = {} if varlinks is None else varlinks
-
-        if name is None:
-            name = self.name if self.name is not None else ""
-
-        try:
-            for mod in self.modules.values():
-                mod.save(
-                    hdf, varlinks, "%s.%s" % (name, mod.name), compress=compress,
-                    assumeUniqueNames=assumeUniqueNames, isRoot=False
-                )
-
-            attrGrp = hdf.require_group("attrs.%s" % name)
-            for attrName, attr in self.attrs.items():
-                attrGrp.create_dataset(attrName, data=attr)
-
-            if withBlueprint:
-                hdf.create_dataset(
-                    "blueprint", (), dtype=h5py.special_dtype(vlen=str),
-                    data=json.dumps(self.getBlueprint(), indent=4, sort_keys=True)
-                )
-
-            buffer = None
-            if isRoot and serialize:
-                hdf.flush()
-                buffer = hdf.id.get_file_image()
-
-        except Exception as e:
-            raise ContainerError("Container %s save error: %s" % (name, e))
-
-        finally:
-            if isRoot:
-                hdf.close()
-
-        return buffer
-
-    def load(self, hdf, initvars=None, name=None, assumeUniqueNames=False, isRoot=True):
-        hdf = self.ensureHdf(hdf, "r")
-        initvars = {} if initvars is None else initvars
-
-        if name is None:
-            name = self.name if self.name is not None else ""
-
-        try:
-            for mod in self.modules.values():
-                mod.load(hdf, initvars, "%s.%s" % (name, mod.name), assumeUniqueNames=assumeUniqueNames, isRoot=False)
-
-            grpName = "attrs.%s" % name
-
-            if grpName in hdf:
-                attrGrp = hdf[grpName]
-                self.attrs.update((attrName, np.array(attr)) for attrName, attr in attrGrp.items())
-
-        except Exception as e:
-            raise ContainerError("Container %s load error: %s" % (name, e))
-
-        finally:
-            if isRoot:
-                hdf.close()
-
     def trainMode(self):
         super().trainMode()
-        for mod in self.modules.values():
-            mod.trainMode()
+        for child in self.modules.values():
+            child.trainMode()
 
     def evalMode(self):
         super().evalMode()
-        for mod in self.modules.values():
-            mod.evalMode()
+        for child in self.modules.values():
+            child.evalMode()
 
     def calcMode(self, T):
-        for mod in self.modules.values():
+        for child in self.modules.values():
             try:
-                mod.calcMode(T)
+                child.calcMode(T)
             except Exception as e:
-                self.handleError(mod, e)
+                self.handleError(child, e)
 
     def reset(self):
         super().reset()
-        for mod in self.modules.values():
-            mod.reset()
-
-    def __str__(self):
-        return "Container %s (name: %s)" % (self.__class__.__name__, self.name)
-
-    def handleError(self, mod, e):
-        msg = str(e)
-        msg = ": %s" % msg if len(msg) > 0 else ""
-
-        raise ContainerError("%s:\nModule (%s) error:\n%s%s" % (self, mod, type(e), msg))
+        for child in self.modules.values():
+            child.reset()
 
     def numOfParams(self):
-        return sum(mod.numOfParams() for mod in self.modules.values())
+        return sum(child.numOfParams() for child in self.modules.values())
 
     def paramSize(self, unit=None):
-        size = sum(mod.paramSize(unit=None) for mod in self.modules.values())
-        return self.convertUnit(size, unit=unit) if unit is not None else size
+        nbytes = sum(child.paramSize(unit=None) for child in self.modules.values())
+        return nbytes if unit is None else self.convertUnit(nbytes, unit=unit)
+
+    # -- persistence ------------------------------------------------------------------------
+
+    def _checkpointPath(self, name, assumeUniqueNames):
+        # containers never squash their own path; children apply the
+        # unique-names squash at their own level (reference parity)
+        return name if name is not None else (self.name or "")
+
+    def _writeState(self, hdf, varlinks, name, compress, assumeUniqueNames=False):
+        for child in self.modules.values():
+            child.save(hdf, varlinks, "%s.%s" % (name, child.name), compress=compress,
+                       assumeUniqueNames=assumeUniqueNames, isRoot=False)
+
+        # container attrs live in their own group, keyed by bare attr name
+        grp = hdf.require_group("attrs.%s" % name)
+        for attrName, attr in self.attrs.items():
+            grp.create_dataset(attrName, data=attr)
+
+    def _readState(self, hdf, initvars, name, assumeUniqueNames):
+        for child in self.modules.values():
+            child.load(hdf, initvars, "%s.%s" % (name, child.name),
+                       assumeUniqueNames=assumeUniqueNames, isRoot=False)
+
+        group = "attrs.%s" % name
+        if group in hdf:
+            for attrName, attr in hdf[group].items():
+                self.attrs[attrName] = np.array(attr)
+
+    # -- blueprint / misc -----------------------------------------------------------------------
+
+    def getBlueprint(self):
+        blueprint = super().getBlueprint()
+        blueprint["modules"] = {name: child.getBlueprint() for name, child in self.modules.items()}
+
+        return blueprint
+
+    def handleError(self, mod, e):
+        detail = str(e)
+        raise ContainerError("%s:\nModule (%s) error:\n%s%s" %
+                             (self, mod, type(e), ": %s" % detail if detail else ""))
+
+    def __str__(self):
+        return "Container %s (name: %s)" % (type(self).__name__, self.name)
 
     def updateData(self, data):
         raise NotImplementedError()

@@ -1,7 +1,21 @@
-"""DAG container (reference: /root/reference/Containers/Graph.py)."""
+"""DAG container.
+
+API parity target: /root/reference/Containers/Graph.py — wraps a web of Nodes
+(built with ``module.node(*parents)``) behind the standard Module interface.
+Forward feeds every input node and sweeps to the outputs; backward seeds every
+output node and sweeps upstream, summing gradient fan-in at each node.
+"""
 
 from puzzlelib_tpu.containers.container import ContainerError, Container
 from puzzlelib_tpu.containers.node import Node
+
+
+def _aslist(obj):
+    return obj if isinstance(obj, list) else [obj]
+
+
+def _single(values):
+    return values[0] if len(values) == 1 else values
 
 
 class Graph(Container):
@@ -9,27 +23,23 @@ class Graph(Container):
         super().__init__(name)
 
         self.unsafe = unsafe
+        self.inputs, self.outputs = _aslist(inputs), _aslist(outputs)
 
-        self.inputs = [inputs] if not isinstance(inputs, list) else inputs
+        badInputs = [node.name for node in self.inputs if node.bwds]
+        if badInputs:
+            raise ContainerError("Found input nodes with parents: %s" % ", ".join(badInputs))
 
-        impureInputs = [inp.name for inp in self.inputs if len(inp.bwds) > 0]
-        if len(impureInputs) > 0:
-            raise ContainerError("Found input nodes with parents: %s" % ", ".join(impureInputs))
-
-        self.outputs = [outputs] if not isinstance(outputs, list) else outputs
-
-        impureOutputs = [output.name for output in self.outputs if len(output.fwds) > 0]
-        if len(impureOutputs) > 0:
-            raise ContainerError("Found output nodes with ancestors: %s" % ", ".join(impureOutputs))
+        badOutputs = [node.name for node in self.outputs if node.fwds]
+        if badOutputs:
+            raise ContainerError("Found output nodes with ancestors: %s" % ", ".join(badOutputs))
 
         self.nodes = {}
-
         for inp in self.inputs:
             inp.traverseForward(inp, lambda node: self.gatherTopology(node, nodesOnly))
 
-        unvisited = [output.name for output in self.outputs if not output.fwdVisited]
-        if len(unvisited) > 0:
-            raise ContainerError("Could not visit output nodes: %s" % ", ".join(unvisited))
+        missed = [node.name for node in self.outputs if not node.fwdVisited]
+        if missed:
+            raise ContainerError("Could not visit output nodes: %s" % ", ".join(missed))
 
         self.reset()
 
@@ -40,89 +50,84 @@ class Graph(Container):
         assert node.name not in self.nodes
         self.nodes[node.name] = node
 
-        if getattr(node.module, "inplace", False) and not self.unsafe:
-            for fwd in node.fwds:
-                if len(fwd[0].bwds) > 1:
-                    raise ContainerError("Invalid inplace mode - module %s has non-trivial ancestor %s" %
-                                         (node.module, fwd[0]))
+        if self.unsafe or not getattr(node.module, "inplace", False):
+            return
 
-            for bwd in node.bwds:
-                if len(bwd[0].fwds) > 1:
-                    raise ContainerError("Invalid inplace mode - module %s has non-trivial parent %s" %
-                                         (node.module, bwd[0]))
+        # an inplace node must have trivially-wired neighbors or buffers alias
+        for child, _ in node.fwds:
+            if len(child.bwds) > 1:
+                raise ContainerError("Invalid inplace mode - module %s has non-trivial ancestor %s" %
+                                     (node.module, child))
 
-    def getBlueprint(self):
-        blueprint = super().getBlueprint()
-
-        blueprint["graph"] = {node.name: [(n.name, slots) for n, slots in node.bwds] for node in self.nodes.values()}
-        blueprint["inputs"] = [inp.name for inp in self.inputs]
-        blueprint["outputs"] = [output.name for output in self.outputs]
-
-        return blueprint
+        for parent, _ in node.bwds:
+            if len(parent.fwds) > 1:
+                raise ContainerError("Invalid inplace mode - module %s has non-trivial parent %s" %
+                                     (node.module, parent))
 
     def getNodeByName(self, name):
         return self.nodes[name]
 
-    def optimizeForShape(self, shape, memlimit=None):
-        self.graphDataShape(shape, lambda module, sh: module.optimizeForShape(sh, memlimit))
+    def getBlueprint(self):
+        blueprint = super().getBlueprint()
+
+        blueprint["graph"] = {
+            node.name: [(parent.name, slots) for parent, slots in node.bwds]
+            for node in self.nodes.values()
+        }
+        blueprint["inputs"] = [node.name for node in self.inputs]
+        blueprint["outputs"] = [node.name for node in self.outputs]
+
+        return blueprint
+
+    # -- forward / backward ------------------------------------------------------------
 
     def updateData(self, data):
-        data = data if isinstance(data, list) else [data]
+        for node, feed in zip(self.inputs, _aslist(data)):
+            node.forward(feed)
 
-        for i, inp in enumerate(self.inputs):
-            inp.forward(data[i])
-
-        self.data = self.outputs[0].data if len(self.outputs) == 1 else [output.data for output in self.outputs]
+        self.data = _single([node.data for node in self.outputs])
         self.clearTraverse()
+
+    def backward(self, grad, updParamGrads=True, updGrad=True, scale=1.0, momentum=1.0):
+        for node, feed in zip(self.outputs, _aslist(grad)):
+            node.backward(feed, updParamGrads=updParamGrads, updGrad=updGrad,
+                          scale=scale, momentum=momentum)
+
+        self.grad = _single([node.grad for node in self.inputs])
+        self.clearTraverse()
+
+    def updateGrad(self, grad):
+        assert False
+
+    # -- shape propagation ----------------------------------------------------------------
+
+    def graphDataShape(self, shape, onmodule):
+        inshapes = {node.name: sh for node, sh in zip(self.inputs, _aslist(shape))}
+        shapes = {}
+
+        for node in self.inputs:
+            node.traverseForward(node, Node.dataShapeFrom, inshapes, shapes, onmodule)
+
+        self.clearTraverse()
+        return _single([shapes[node.name] for node in self.outputs])
 
     def dataShapeFrom(self, shape):
         return self.graphDataShape(shape, None)
 
-    def graphDataShape(self, shape, onmodule):
-        shape = shape if isinstance(shape, list) else [shape]
-
-        inshapes = {inp.name: shape[i] for i, inp in enumerate(self.inputs)}
-        shapes = {}
-
-        for inp in self.inputs:
-            inp.traverseForward(inp, Node.dataShapeFrom, inshapes, shapes, onmodule)
-
-        outshapes = [shapes[output.name] for output in self.outputs]
-
-        if len(self.outputs) == 1:
-            outshapes = outshapes[0]
-
-        self.clearTraverse()
-        return outshapes
-
-    def backward(self, grad, updParamGrads=True, updGrad=True, scale=1.0, momentum=1.0):
-        grad = grad if isinstance(grad, list) else [grad]
-
-        for i, output in enumerate(self.outputs):
-            output.backward(grad[i], updParamGrads=updParamGrads, updGrad=updGrad, scale=scale, momentum=momentum)
-
-        self.grad = self.inputs[0].grad if len(self.inputs) == 1 else [inp.grad for inp in self.inputs]
-        self.clearTraverse()
-
     def gradShapeFrom(self, shape):
-        shape = shape if isinstance(shape, list) else [shape]
-
-        outshapes = {output.name: shape[i] for i, output in enumerate(self.outputs)}
+        outshapes = {node.name: sh for node, sh in zip(self.outputs, _aslist(shape))}
         shapes = {}
 
-        for output in self.outputs:
-            output.traverseBackward(output, Node.gradShapeFrom, outshapes, shapes)
-
-        inshape = [shapes[inp.name] for inp in self.inputs]
-
-        if len(self.inputs) == 1:
-            inshape = inshape[0]
+        for node in self.outputs:
+            node.traverseBackward(node, Node.gradShapeFrom, outshapes, shapes)
 
         self.clearTraverse()
-        return inshape
+        return _single([shapes[node.name] for node in self.inputs])
 
-    def updateGrad(self, grad):
-        assert False
+    def optimizeForShape(self, shape, memlimit=None):
+        self.graphDataShape(shape, lambda module, sh: module.optimizeForShape(sh, memlimit))
+
+    # -- housekeeping --------------------------------------------------------------------------
 
     def reset(self):
         super().reset()

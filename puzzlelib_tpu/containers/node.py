@@ -1,9 +1,12 @@
-"""DAG node wiring modules into a Graph container
-(reference: /root/reference/Containers/Node.py).
+"""DAG node wiring modules into a Graph container.
 
-Nodes wire with ``module.node(*parents)``; parents may be bare Nodes or
-``(node, slots)`` tuples routing specific output slots.  Forward/backward are
-dependency-ordered traversals; gradient fan-in sums contributions.
+API parity target: /root/reference/Containers/Node.py.  Nodes wire with
+``module.node(*parents)``; a parent may be a bare Node or a ``(node, slots)``
+tuple routing specific output slots.  Unlike the reference's recursive
+descent, traversal here is an iterative ready-set sweep: a worklist pops a
+node, skips it until every dependency fired, applies the visitor and pushes
+its successors — same completion semantics (multiple roots each sweep once),
+no recursion depth limit.
 """
 
 from puzzlelib_tpu.backend import gpuarray, blas as Blas
@@ -13,224 +16,223 @@ class NodeError(Exception):
     pass
 
 
+def _asLinks(parents):
+    """Normalize a ctor ``parents`` argument into a flat [(node, slots)] list."""
+    if parents is None:
+        return []
+
+    if isinstance(parents, Node):
+        return [(parents, None)]
+
+    if isinstance(parents, tuple):
+        node, slots = parents
+        if slots is not None and not isinstance(slots, list):
+            slots = [slots]
+
+        return [(node, slots)]
+
+    if isinstance(parents, list):
+        links = []
+        for entry in parents:
+            links.extend(_asLinks(entry))
+
+        return links
+
+    raise NodeError("Unrecognized parent object type %s" % type(parents).__name__)
+
+
+def _outputWidth(node):
+    """Number of output slots a node produced on its last forward."""
+    return len(node.data) if isinstance(node.data, list) else 1
+
+
 class Node:
     def __init__(self, mod, parents=None, name=None):
-        self.module = mod
-        self.rename = name
+        self.module, self.rename = mod, name
 
-        self.fwdVisited = False
-        self.bwdVisited = False
-
-        self.data = None
-        self.grad = None
-
-        self.fwds = []
-        self.bwds = []
+        self.data, self.grad = None, None
+        self.fwds, self.bwds = [], []
+        self.fwdVisited, self.bwdVisited = False, False
 
         self.addBackwards(parents)
 
-    def addBackwards(self, nodes):
-        if nodes is None:
-            return
-
-        if isinstance(nodes, Node):
-            nodes.addForward((self, None))
-            self.bwds.append((nodes, None))
-
-        elif isinstance(nodes, tuple):
-            node, slots = nodes
-
-            if not isinstance(slots, (list, type(None))):
-                slots = [slots]
-
-            node.addForward((self, slots))
-            self.bwds.append((node, slots))
-
-        elif isinstance(nodes, list):
-            for node in nodes:
-                self.addBackwards(node)
-
-        else:
-            raise NodeError("Unrecognized parent object type %s" % type(nodes).__name__)
-
-    def addForward(self, node):
-        self.fwds.append(node)
-
     @property
     def name(self):
-        return self.module.name if self.rename is None else self.rename
+        return self.rename if self.rename is not None else self.module.name
 
-    # -- forward -------------------------------------------------------------
+    # -- wiring ----------------------------------------------------------------
+
+    def addBackwards(self, nodes):
+        for parent, slots in _asLinks(nodes):
+            parent.addForward((self, slots))
+            self.bwds.append((parent, slots))
+
+    def addForward(self, link):
+        self.fwds.append(link)
+
+    # -- traversal -------------------------------------------------------------
+
+    @staticmethod
+    def _sweep(start, visitor, args, flag, deps, succs):
+        pending = [start]
+
+        while pending:
+            node = pending.pop()
+            if getattr(node, flag):
+                continue
+
+            if not all(getattr(dep, flag) for dep, _ in deps(node)):
+                # not ready yet: the sweep from whichever root completes the
+                # missing dependency will re-push this node
+                continue
+
+            visitor(node, *args)
+            setattr(node, flag, True)
+
+            pending.extend(nxt for nxt, _ in reversed(succs(node)))
+
+    @staticmethod
+    def traverseForward(node, func, *args):
+        Node._sweep(node, func, args, "fwdVisited", lambda n: n.bwds, lambda n: n.fwds)
+
+    @staticmethod
+    def traverseBackward(node, func, *args):
+        Node._sweep(node, func, args, "bwdVisited", lambda n: n.fwds, lambda n: n.bwds)
+
+    # -- forward ----------------------------------------------------------------
+
+    def _gatherInputs(self, external):
+        """Collect this node's module input from parent outputs (or the graph
+        feed for source nodes), honoring slot routing."""
+        if not self.bwds:
+            return external
+
+        head, headSlots = self.bwds[0]
+        if headSlots is None and len(self.bwds) == 1:
+            return head.data
+
+        feed = []
+        for parent, slots in self.bwds:
+            feed += [parent.data] if slots is None else [parent.data[s] for s in slots]
+
+        return feed
+
+    def updateData(self, data):
+        self.data = self.module(self._gatherInputs(data))
 
     def forward(self, data):
         self.traverseForward(self, Node.updateData, data)
 
-    def updateData(self, data):
-        if len(self.bwds) > 0:
-            if len(self.bwds) == 1 and self.bwds[0][1] is None:
-                data = self.bwds[0][0].data
-            else:
-                data = []
-                for node, slots in self.bwds:
-                    data.extend([node.data] if slots is None else (node.data[slot] for slot in slots))
-
-        self.data = self.module(data)
-
     def dataShapeFrom(self, inshapes, shapes, onmodule):
-        if len(self.bwds) == 0:
-            shape = inshapes[self.name]
+        if not self.bwds:
+            inshape = inshapes[self.name]
         else:
-            shape = []
-            for node, slots in self.bwds:
-                shape.extend([shapes[node.name]] if slots is None else (shapes[node.name][slot] for slot in slots))
+            feed = []
+            for parent, slots in self.bwds:
+                feed += [shapes[parent.name]] if slots is None else [shapes[parent.name][s] for s in slots]
 
-            if len(self.bwds) == 1:
-                shape = shape[0]
+            inshape = feed[0] if len(self.bwds) == 1 else feed
 
-        outshape = self.module.dataShapeFrom(shape)
+        shapes[self.name] = self.module.dataShapeFrom(inshape)
 
         if onmodule is not None:
-            onmodule(self.module, shape)
+            onmodule(self.module, inshape)
 
-        shapes[self.name] = outshape
+    # -- backward ---------------------------------------------------------------
 
-    # -- backward ------------------------------------------------------------
+    @staticmethod
+    def _fanInSum(grads):
+        """Sum gradient contributions from several consumers of one slot."""
+        if len(grads) == 1:
+            return grads[0]
+
+        total = gpuarray.copy(None, grads[0])
+        for extra in grads[1:]:
+            Blas.toVectorAddVector(total.ravel(), extra.ravel())
+
+        return total
+
+    def buildOutGrad(self, grad):
+        """Assemble this node's output gradient from its consumers (or the
+        external grad for sink nodes), summing fan-in per slot."""
+        if not self.fwds:
+            return grad
+
+        buckets = [[] for _ in range(_outputWidth(self))]
+
+        for child, slots in self.fwds:
+            contribution = child.grad[self.name]
+            if slots is None:
+                for i, g in enumerate(contribution):
+                    buckets[i].append(g)
+            else:
+                for s in slots:
+                    buckets[s].append(contribution[s])
+
+        summed = [self._fanInSum(b) for b in buckets]
+        return summed[0] if len(summed) == 1 else summed
+
+    def routeInGrad(self, grad):
+        """Split the module's input gradient back to parents by edge order."""
+        if not self.bwds:
+            return grad
+
+        flat = grad if isinstance(grad, list) else [grad]
+        routed, cursor = {}, 0
+
+        for parent, slots in self.bwds:
+            if slots is None:
+                width = _outputWidth(parent)
+                routed[parent.name] = flat[cursor:cursor + width]
+            else:
+                width = len(slots)
+                routed[parent.name] = dict(zip(slots, flat[cursor:cursor + width]))
+
+            cursor += width
+
+        return routed
+
+    def updateGrad(self, grad, updParamGrads, updGrad, scale, momentum):
+        outgrad = self.buildOutGrad(grad)
+
+        # interior nodes always need their input gradient for upstream fan-out
+        needInGrad = True if self.bwds else updGrad
+        self.module.backward(outgrad, updParamGrads=updParamGrads, updGrad=needInGrad,
+                             scale=scale, momentum=momentum)
+
+        self.grad = self.routeInGrad(self.module.grad)
 
     def backward(self, grad=None, updParamGrads=True, updGrad=True, scale=1.0, momentum=0.0):
         self.traverseBackward(self, Node.updateGrad, grad, updParamGrads, updGrad, scale, momentum)
 
-    def updateGrad(self, grad, updParamGrads, updGrad, scale, momentum):
-        grad = self.buildOutGrad(grad)
-        updGrad = updGrad if len(self.bwds) == 0 else True
-
-        self.module.backward(grad, updParamGrads=updParamGrads, updGrad=updGrad, scale=scale, momentum=momentum)
-        self.grad = self.routeInGrad(self.module.grad)
-
-    def buildOutGrad(self, grad):
-        if len(self.fwds) == 0:
-            return grad
-
-        grad = [[] for _ in range(len(self.data) if isinstance(self.data, list) else 1)]
-
-        for node, slots in self.fwds:
-            if slots is not None:
-                for slot in slots:
-                    grad[slot].append(node.grad[self.name][slot])
-            else:
-                for i, gr in enumerate(node.grad[self.name]):
-                    grad[i].append(gr)
-
-        for i, grads in enumerate(grad):
-            if len(grads) > 1:
-                gr = gpuarray.copy(None, grads[0])
-
-                for j in range(1, len(grads)):
-                    Blas.toVectorAddVector(gr.ravel(), grads[j].ravel())
-            else:
-                gr = grads[0]
-
-            grad[i] = gr
-
-        if len(grad) == 1:
-            grad = grad[0]
-
-        return grad
-
-    def routeInGrad(self, grad):
-        if len(self.bwds) == 0:
-            return grad
-
-        grad = grad if isinstance(grad, list) else [grad]
-
-        routedgrad = {}
-        i = 0
-
-        for node, slots in self.bwds:
-            if slots is None:
-                ln = len(node.data) if isinstance(node.data, list) else 1
-                routedgrad[node.name] = grad[i:i + ln]
-                i += ln
-            else:
-                routedgrad[node.name] = {slot: grad[i + j] for j, slot in enumerate(slots)}
-                i += len(slots)
-
-        return routedgrad
-
     def gradShapeFrom(self, outshapes, shapes):
-        shape = self.buildOutGradShape(outshapes, shapes)
-        inshape = self.routeInGrad(self.module.gradShapeFrom(shape))
-        shapes[self.name] = inshape
+        shapes[self.name] = self.routeInGrad(self.module.gradShapeFrom(self.buildOutGradShape(outshapes, shapes)))
 
     def buildOutGradShape(self, outshapes, shapes):
-        if len(self.fwds) == 0:
+        if not self.fwds:
             return outshapes[self.name]
 
-        shape = [None for _ in range(len(self.data) if isinstance(self.data, list) else 1)]
+        slotShapes = [None] * _outputWidth(self)
 
-        for node, slots in self.fwds:
-            if slots is not None:
-                for slot in slots:
-                    shape[slot] = shapes[node.name][self.name][slot]
+        for child, slots in self.fwds:
+            contribution = shapes[child.name][self.name]
+            if slots is None:
+                slotShapes = list(contribution)
             else:
-                for i, sh in enumerate(shapes[node.name][self.name]):
-                    shape[i] = sh
+                for s in slots:
+                    slotShapes[s] = contribution[s]
 
-        if len(shape) == 1:
-            shape = shape[0]
+        return slotShapes[0] if len(slotShapes) == 1 else slotShapes
 
-        return shape
+    # -- housekeeping -------------------------------------------------------------
 
-    # -- housekeeping --------------------------------------------------------
+    def clearTraverse(self):
+        self.fwdVisited = self.bwdVisited = False
 
     def reset(self):
         self.clearTraverse()
-        self.data = None
-        self.grad = None
+        self.data, self.grad = None, None
         self.module.reset()
-
-    def clearTraverse(self):
-        self.fwdVisited = False
-        self.bwdVisited = False
 
     def __str__(self):
         return "Node %s (name: %s)" % (type(self.module), self.name)
-
-    @staticmethod
-    def traverseForward(node, func, *args):
-        while True:
-            if node.fwdVisited:
-                return
-
-            if not all(bwd[0].fwdVisited for bwd in node.bwds):
-                return
-
-            func(node, *args)
-            node.fwdVisited = True
-
-            if len(node.fwds) == 1:
-                node, _ = node.fwds[0]
-                continue
-            else:
-                for n, _ in node.fwds:
-                    n.traverseForward(n, func, *args)
-                break
-
-    @staticmethod
-    def traverseBackward(node, func, *args):
-        while True:
-            if node.bwdVisited:
-                return
-
-            if not all(fwd[0].bwdVisited for fwd in node.fwds):
-                return
-
-            func(node, *args)
-            node.bwdVisited = True
-
-            if len(node.bwds) == 1:
-                node, _ = node.bwds[0]
-                continue
-            else:
-                for n, _ in node.bwds:
-                    n.traverseBackward(n, func, *args)
-                break

@@ -1,6 +1,10 @@
-"""Branch-parallel container over a list of inputs
-(reference: /root/reference/Containers/Parallel.py).  On TPU the branches are
-independent XLA computations the scheduler overlaps freely."""
+"""Branch-parallel container over a list of inputs.
+
+API parity target: /root/reference/Containers/Parallel.py — N sibling modules
+each consume the matching element of a list input (Inception towers, SentiNet
+branches).  Branches are dispatched sequentially here; inside a fused step the
+XLA scheduler overlaps them freely since they are data-independent.
+"""
 
 from puzzlelib_tpu.modules.module import ModuleError
 from puzzlelib_tpu.containers.container import Container
@@ -11,9 +15,11 @@ class Parallel(Container):
         super().__init__(name)
         self.graph = []
 
+    # -- dataflow hints ------------------------------------------------------------
+
     @property
     def gradUsesOutData(self):
-        return any(mod.gradUsesOutData for mod in self.graph)
+        return any(branch.gradUsesOutData for branch in self.graph)
 
     @gradUsesOutData.setter
     def gradUsesOutData(self, val):
@@ -21,13 +27,9 @@ class Parallel(Container):
 
     @property
     def inplace(self):
-        return any(getattr(mod, "inplace", False) for mod in self.graph[:-1])
+        return any(getattr(branch, "inplace", False) for branch in self.graph[:-1])
 
-    def getBlueprint(self):
-        blueprint = super().getBlueprint()
-        blueprint["graph"] = [mod.name for mod in self.graph]
-
-        return blueprint
+    # -- branch editing --------------------------------------------------------------
 
     def append(self, mod, acquire=True):
         super().append(mod, acquire)
@@ -36,77 +38,72 @@ class Parallel(Container):
         return self
 
     def extend(self, container, acquire=True):
-        if isinstance(container, Parallel):
-            container = container.graph
+        branches = container.graph if isinstance(container, Parallel) else container
 
-        for mod in container:
+        for mod in branches:
             self.append(mod, acquire)
 
     def pop(self):
         mod = self.graph.pop()
-        super().removeModule(mod)
-
-        return mod
+        return super().removeModule(mod)
 
     def __getitem__(self, item):
-        if isinstance(item, str):
-            return super().__getitem__(item)
-
-        elif isinstance(item, int):
+        if isinstance(item, int):
             return self.graph[item]
 
-        elif isinstance(item, slice):
-            parallel = Parallel()
-            parallel.extend(self.graph[item.start:item.stop:item.step])
-            return parallel
+        if isinstance(item, slice):
+            sub = Parallel()
+            sub.extend(self.graph[item])
+            return sub
 
-        else:
-            raise NotImplementedError(type(item).__name__)
+        return super().__getitem__(item)
 
     def getByIndex(self, index):
         return self.graph[index]
 
+    def getBlueprint(self):
+        blueprint = super().getBlueprint()
+        blueprint["graph"] = [branch.name for branch in self.graph]
+
+        return blueprint
+
     def optimizeForShape(self, shapes, memlimit=None):
-        for i, mod in enumerate(self.graph):
-            mod.optimizeForShape(shapes[i], memlimit)
+        for branch, shape in zip(self.graph, shapes):
+            branch.optimizeForShape(shape, memlimit)
+
+    # -- forward / backward -------------------------------------------------------------
+
+    def _eachBranch(self, inputs, kind, visit):
+        """Apply ``visit`` to every (branch, input) pair with error context."""
+        assert len(inputs) == len(self.graph)
+        results = []
+
+        for index, (branch, feed) in enumerate(zip(self.graph, inputs)):
+            try:
+                results.append(visit(branch, feed))
+            except ModuleError as e:
+                raise ModuleError("%s:\n%s error in module %d (%s):\n%s" % (self, kind, index, branch, e))
+            except Exception as e:
+                self.handleError(branch, e)
+
+        return results
 
     def updateData(self, data):
-        assert len(data) == len(self.graph)
-        self.data = []
-
-        for i, mod in enumerate(self.graph):
-            try:
-                mod(data[i])
-
-            except ModuleError as e:
-                raise ModuleError("%s:\nData error in module %d (%s):\n%s" % (self, i, mod, e))
-
-            except Exception as e:
-                self.handleError(mod, e)
-
-            self.data.append(mod.data)
-
-    def dataShapeFrom(self, shapes):
-        return [mod.dataShapeFrom(shapes[i]) for i, mod in enumerate(self.graph)]
+        self.data = self._eachBranch(data, "Data", lambda branch, feed: branch(feed))
 
     def backward(self, grad, updParamGrads=True, updGrad=True, scale=1.0, momentum=1.0):
-        assert len(grad) == len(self.graph)
-        self.grad = []
+        def visit(branch, feed):
+            branch.backward(feed, updParamGrads=updParamGrads, updGrad=updGrad,
+                            scale=scale, momentum=momentum)
+            return branch.grad
 
-        for i, mod in enumerate(self.graph):
-            try:
-                mod.backward(grad[i], updParamGrads=updParamGrads, updGrad=updGrad, scale=scale, momentum=momentum)
+        self.grad = self._eachBranch(grad, "Grad", visit)
 
-            except ModuleError as e:
-                raise ModuleError("%s:\nGrad error in module %d (%s):\n%s" % (self, i, mod, e))
-
-            except Exception as e:
-                self.handleError(mod, e)
-
-            self.grad.append(mod.grad)
+    def dataShapeFrom(self, shapes):
+        return [branch.dataShapeFrom(shape) for branch, shape in zip(self.graph, shapes)]
 
     def gradShapeFrom(self, shapes):
-        return [mod.gradShapeFrom(shapes[i]) for i, mod in enumerate(self.graph)]
+        return [branch.gradShapeFrom(shape) for branch, shape in zip(self.graph, shapes)]
 
     def updateGrad(self, grad):
         assert False

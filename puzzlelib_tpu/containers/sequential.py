@@ -1,4 +1,12 @@
-"""Sequential container (reference: /root/reference/Containers/Sequential.py)."""
+"""Sequential container — an ordered pipeline of modules.
+
+API parity target: /root/reference/Containers/Sequential.py.  Keeps the
+reference's inplace-compatibility validation: an inplace module may not
+consume the output of a producer whose backward pass re-reads its own output
+(``gradUsesOutData``), looking through shape-only "data movers".  On TPU these
+flags are hints (XLA owns buffer reuse), but the validation is kept so nets
+port between frameworks without surprises.
+"""
 
 from puzzlelib_tpu import config as Config
 from puzzlelib_tpu.modules.module import ModuleError
@@ -10,58 +18,41 @@ class Sequential(Container):
         super().__init__(name)
         self.graph = []
 
+    # -- dataflow hint propagation ----------------------------------------------
+
     @property
     def gradUsesOutData(self):
-        if len(self.graph) == 0:
-            return False
+        # the container's effective flag is that of its last non-mover child
+        for mod in reversed(self.graph):
+            if not mod.movesData:
+                return mod.gradUsesOutData
 
-        index = -1
-        mod = self.graph[index]
-
-        while mod.movesData:
-            index -= 1
-            mod = self.graph[index]
-
-        return mod.gradUsesOutData
+        return False
 
     @gradUsesOutData.setter
     def gradUsesOutData(self, val):
         pass
 
+    @staticmethod
+    def _edgeIsInplace(mods, moverFlag):
+        """True if the first non-mover module at this end is inplace."""
+        for mod in mods:
+            if getattr(mod, moverFlag):
+                continue
+
+            return bool(getattr(mod, "inplace", False))
+
+        return True
+
     @property
     def inplace(self):
-        fwdinp = True
+        return (self._edgeIsInplace(self.graph, "movesData") or
+                self._edgeIsInplace(reversed(self.graph), "movesGrad"))
 
-        for mod in self.graph:
-            if mod.movesData:
-                continue
-            elif getattr(mod, "inplace", False):
-                break
-            else:
-                fwdinp = False
-                break
-
-        bwdinp = True
-
-        for mod in reversed(self.graph):
-            if mod.movesGrad:
-                continue
-            elif getattr(mod, "inplace", False):
-                break
-            else:
-                bwdinp = False
-                break
-
-        return fwdinp or bwdinp
-
-    def getBlueprint(self):
-        blueprint = super().getBlueprint()
-        blueprint["graph"] = [mod.name for mod in self.graph]
-
-        return blueprint
+    # -- pipeline editing -----------------------------------------------------------
 
     def append(self, mod, acquire=True):
-        if len(self.graph) > 0:
+        if self.graph:
             self.checkModulesCompatibility(self.graph[-1], mod)
 
         super().append(mod, acquire)
@@ -70,17 +61,14 @@ class Sequential(Container):
         return self
 
     def extend(self, container, acquire=True):
-        if isinstance(container, Sequential):
-            container = container.graph
+        mods = container.graph if isinstance(container, Sequential) else container
 
-        for mod in container:
+        for mod in mods:
             self.append(mod, acquire)
 
     def pop(self):
         mod = self.graph.pop()
-        super().removeModule(mod)
-
-        return mod
+        return super().removeModule(mod)
 
     def insert(self, mod, index):
         if index > 0:
@@ -96,108 +84,108 @@ class Sequential(Container):
         super().append(mod)
         self.graph.insert(index + 1, mod)
 
-    def checkModulesCompatibility(self, mod1, mod2):
-        if Config.disableModuleCompatChecks:
+    def checkModulesCompatibility(self, before, incoming):
+        if Config.disableModuleCompatChecks or not getattr(incoming, "inplace", False):
             return
 
-        if not getattr(mod2, "inplace", False):
-            return
+        # find the module whose buffer the inplace op would actually clobber:
+        # ``before`` itself, or — if it only moves data — the producer behind it
+        if before.gradUsesOutData:
+            hazard = before
+        else:
+            index = self.getModuleIndex(before.name)
+            while index >= 0 and self.graph[index].movesData:
+                index -= 1
 
-        if not mod1.gradUsesOutData:
-            if not mod1.movesData:
-                return
-            else:
-                index = self.getModuleIndex(mod1.name) - 1
+            hazard = self.graph[index] if index >= 0 and self.graph[index].gradUsesOutData else None
 
-                while index >= 0:
-                    mod1 = self.getByIndex(index)
-                    index -= 1
+        if hazard is not None:
+            raise ContainerError(
+                "%s: Can't insert inplace module %s after module %s (gradient uses outdata)" %
+                (self, incoming, hazard)
+            )
 
-                    if mod1.movesData:
-                        continue
-
-                    if not mod1.gradUsesOutData:
-                        return
-                    else:
-                        break
-
-                if index < 0:
-                    return
-
-        raise ContainerError(
-            "%s: Can't insert inplace module %s after module %s (gradient uses outdata)" % (self, mod2, mod1)
-        )
+    # -- lookup -------------------------------------------------------------------------
 
     def __getitem__(self, item):
-        if isinstance(item, str):
-            return super().__getitem__(item)
-
-        elif isinstance(item, int):
+        if isinstance(item, int):
             return self.graph[item]
 
-        elif isinstance(item, slice):
-            assert item.step == 1 or item.step is None
+        if isinstance(item, slice):
+            assert item.step is None or item.step == 1
 
-            seq = Sequential()
-            seq.extend(self.graph[item.start:item.stop:item.step])
-            return seq
+            sub = Sequential()
+            sub.extend(self.graph[item])
+            return sub
 
-        else:
-            raise NotImplementedError(type(item).__name__)
+        return super().__getitem__(item)
 
     def getByIndex(self, index):
         return self.graph[index]
 
     def getModuleIndex(self, name):
-        for i, mod in enumerate(self.graph):
+        for index, mod in enumerate(self.graph):
             if mod.name == name:
-                return i
+                return index
 
         raise ContainerError("%s: Module %s not found" % (self, name))
+
+    def getBlueprint(self):
+        blueprint = super().getBlueprint()
+        blueprint["graph"] = [mod.name for mod in self.graph]
+
+        return blueprint
 
     def optimizeForShape(self, shape, memlimit=None):
         for mod in self.graph:
             mod.optimizeForShape(shape, memlimit)
             shape = mod.dataShapeFrom(shape)
 
+    # -- forward / backward ----------------------------------------------------------------
+
+    def _childFailure(self, kind, index, mod, exc):
+        if isinstance(exc, ModuleError):
+            raise ModuleError("%s:\n%s error in module %d (%s):\n%s" % (self, kind, index, mod, exc))
+
+        self.handleError(mod, exc)
+
     def updateData(self, data):
-        for i, mod in enumerate(self.graph):
+        flowing = data
+
+        for index, mod in enumerate(self.graph):
             try:
-                mod(data)
-
-            except ModuleError as e:
-                raise ModuleError("%s:\nData error in module %d (%s):\n%s" % (self, i, mod, e))
-
+                mod(flowing)
             except Exception as e:
-                self.handleError(mod, e)
+                self._childFailure("Data", index, mod, e)
 
-            data = mod.data
+            flowing = mod.data
 
-        self.data = data if len(self.graph) == 0 else self.graph[-1].data
+        self.data = flowing
+
+    def backward(self, grad, updParamGrads=True, updGrad=True, scale=1.0, momentum=1.0):
+        flowing = grad
+
+        for index in range(len(self.graph) - 1, -1, -1):
+            mod = self.graph[index]
+            # only the pipeline head honors the caller's updGrad; interior
+            # modules always produce an input gradient for their predecessor
+            needInGrad = updGrad if index == 0 else True
+
+            try:
+                mod.backward(flowing, updParamGrads=updParamGrads, updGrad=needInGrad,
+                             scale=scale, momentum=momentum)
+            except Exception as e:
+                self._childFailure("Grad", index, mod, e)
+
+            flowing = mod.grad
+
+        self.grad = flowing
 
     def dataShapeFrom(self, shape):
         for mod in self.graph:
             shape = mod.dataShapeFrom(shape)
 
         return shape
-
-    def backward(self, grad, updParamGrads=True, updGrad=True, scale=1.0, momentum=1.0):
-        for i, mod in enumerate(reversed(self.graph)):
-            try:
-                if i < len(self.graph) - 1:
-                    mod.backward(grad, updParamGrads=updParamGrads, scale=scale, momentum=momentum)
-                else:
-                    mod.backward(grad, updParamGrads=updParamGrads, updGrad=updGrad, scale=scale, momentum=momentum)
-
-            except ModuleError as e:
-                raise ModuleError("%s:\nGrad error in module %d (%s):\n%s" % (self, len(self.graph) - 1 - i, mod, e))
-
-            except Exception as e:
-                self.handleError(mod, e)
-
-            grad = mod.grad
-
-        self.grad = grad if len(self.graph) == 0 else self.graph[0].grad
 
     def gradShapeFrom(self, shape):
         for mod in reversed(self.graph):

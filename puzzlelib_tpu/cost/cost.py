@@ -1,6 +1,11 @@
-"""Cost base with device-resident error accumulators
-(reference: /root/reference/Cost/Cost.py) - the train loop never syncs to host
-unless an error value is actually queried."""
+"""Cost base class with device-resident error bookkeeping.
+
+API parity target: /root/reference/Cost/Cost.py.  Two scalar accumulators live
+on the device (``devErr`` = last-batch error sum, ``accumErr`` = running sum
+across batches) so the training loop never forces a device→host sync unless an
+error value is explicitly queried — on TPU that keeps the fused step a single
+dispatch with no readback in the steady state.
+"""
 
 import numpy as np
 
@@ -11,88 +16,101 @@ class CostError(Exception):
     pass
 
 
+def _deviceScalar():
+    return gpuarray.empty((), dtype=np.float32)
+
+
 class Cost:
     def __init__(self):
-        self.accumErr = gpuarray.empty((), dtype=np.float32)
-        self.devErr = gpuarray.empty((), dtype=np.float32)
+        # device side: per-batch and running error sums
+        self.devErr = _deviceScalar()
+        self.accumErr = _deviceScalar()
+
+        # host side: sample counters + cached readbacks
+        self.batchsize = 0
+        self.numOfSamples = 0
 
         self.error = None
         self.valError = None
         self.grad = None
-
-        self.batchsize = None
-        self.numOfSamples = None
-
         self.dirty = True
+
         self.resetAccumulator()
+
+    # -- accumulator lifecycle -------------------------------------------------
+
+    def resetDeviceAccumulator(self):
+        self.accumErr.fill(0.0)
 
     def resetAccumulator(self):
         self.resetDeviceAccumulator()
-
-        self.batchsize = 0
-        self.numOfSamples = 0
+        self.batchsize = self.numOfSamples = 0
 
     def updateState(self, samples):
         self.batchsize = samples
         self.numOfSamples += samples
 
-    def resetDeviceAccumulator(self):
-        self.accumErr.fill(0.0)
+    def reset(self):
+        self.error = self.valError = self.grad = None
+
+    # -- error queries (these are the only host syncs) -------------------------
 
     def getError(self):
         if self.dirty:
-            self.error = self.devErr.get() / self.batchsize
-            self.dirty = False
+            self.error, self.dirty = float(self.devErr.get()) / self.batchsize, False
 
         return self.error
 
     def getMeanError(self):
-        return self.accumErr.get() / self.numOfSamples
+        return float(self.accumErr.get()) / self.numOfSamples
 
     def getValError(self):
         return self.valError
 
-    def __call__(self, pred, target, queryError=True):
-        if isinstance(target, gpuarray.GPUArray) and isinstance(pred, gpuarray.GPUArray):
-            assert pred.shape[0] == target.shape[0]
+    # -- evaluation protocol ----------------------------------------------------
 
+    def _verifyBatch(self, pred, target):
+        bothArrays = isinstance(pred, gpuarray.GPUArray) and isinstance(target, gpuarray.GPUArray)
+        if bothArrays and pred.shape[0] != target.shape[0]:
+            raise AssertionError("prediction/target batch mismatch: %d vs %d" %
+                                 (pred.shape[0], target.shape[0]))
+
+    def __call__(self, pred, target, queryError=True):
+        self._verifyBatch(pred, target)
         self.checkDataShape(pred, target)
+
         self.reset()
 
-        self.grad = self.calcGrad(pred, target)
+        # subclasses may reuse self.grad inside calcError (e.g. MSE), so the
+        # gradient must be published before the error kernel runs
+        self.grad = grad = self.calcGrad(pred, target)
         self.calcError(pred, target)
         self.dirty = True
-
         self.updateState(self.getBatchsize(pred))
 
-        if queryError:
-            self.error = self.getError()
-            return self.error, self.grad
+        if not queryError:
+            return grad
 
-        return self.grad
+        self.error = self.getError()
+        return self.error, grad
 
-    def calcError(self, pred, target):
-        raise NotImplementedError()
+    def validate(self, pred, target):
+        self._verifyBatch(pred, target)
+        self.checkValDataShape(pred, target)
+
+        self.valError = self.calcVal(pred, target)
+        return self.valError
+
+    # -- subclass surface --------------------------------------------------------
 
     def calcGrad(self, pred, target):
         raise NotImplementedError()
 
-    def validate(self, pred, target):
-        if isinstance(target, gpuarray.GPUArray) and isinstance(pred, gpuarray.GPUArray):
-            assert pred.shape[0] == target.shape[0]
-
-        self.checkValDataShape(pred, target)
-        self.valError = self.calcVal(pred, target)
-
-        return self.valError
+    def calcError(self, pred, target):
+        raise NotImplementedError()
 
     def calcVal(self, pred, target):
         raise NotImplementedError()
-
-    def reset(self):
-        self.error = None
-        self.valError = None
-        self.grad = None
 
     def checkDataShape(self, pred, target):
         pass

@@ -1,5 +1,10 @@
-"""Generic archive/path -> HDF5 cache loader
-(reference: /root/reference/Datasets/InputLoader.py)."""
+"""Generic archive/path -> HDF5 cache loader.
+
+API parity target: /root/reference/Datasets/InputLoader.py.  Subclasses
+(Path/Tar/Zip) provide archive access; this base walks the file list in packs,
+maps each file through ``onFile`` and appends the batches to a growable HDF5
+dataset, tracking input timestamps so the cache auto-invalidates.
+"""
 
 import os
 
@@ -8,97 +13,112 @@ import h5py
 
 from puzzlelib_tpu.datasets.dataloader import DataLoader
 
+_IMAGE_EXTS = [".png", ".jpg", ".jpeg"]
+
+
+def _defaultOnFile(f):
+    from PIL import Image
+
+    img = np.array(Image.open(f), dtype=np.float32) * 2.0 / 255.0 - 1.0
+    img = np.rollaxis(img, 2)
+    return img.reshape(1, *img.shape)
+
 
 class InputLoader(DataLoader):
     def __init__(self, onFile=None, exts=None, dataname=None, cachename=None, onFileList=None):
         super().__init__(dataname, cachename)
 
-        if onFile is None:
-            def onFile(f):
-                from PIL import Image
-
-                img = np.array(Image.open(f), dtype=np.float32) * 2.0 / 255.0 - 1.0
-                img = np.rollaxis(img, 2)
-                return img.reshape(1, *img.shape)
-
-        self.onFile = onFile
+        self.onFile = _defaultOnFile if onFile is None else onFile
         self.onFileList = onFileList
 
-        if exts is None:
-            self.exts = [".png", ".jpg", ".jpeg"]
-        else:
-            self.exts = ["." + ext if not ext.startswith(".") else ext for ext in exts]
+        exts = _IMAGE_EXTS if exts is None else exts
+        self.exts = [ext if ext.startswith(".") else "." + ext for ext in exts]
 
         self.resizeFactor = 1.5
         self.log = True
 
-        self.hdf = None
-        self.compress = None
-        self.dataset = None
+        self.hdf, self.compress, self.dataset = None, None, None
+        self.maxsamples, self.samples = 0, 0
 
-        self.maxsamples = 0
-        self.samples = 0
+    def _say(self, fmt, *args):
+        if self.log:
+            print(("[%s] " % type(self).__name__) + fmt % args)
+
+    def _matches(self, filename):
+        lowered = filename.lower()
+        return any(lowered.endswith(ext) for ext in self.exts)
+
+    # -- cache validity -----------------------------------------------------------
 
     def checkNeedToLoad(self, log=True):
         if not os.path.exists(self.cachename):
             return True
 
         with h5py.File(self.cachename, "r") as hdf:
-            for inputname, mtime in hdf["timestamps"].items():
-                if mtime[()] < os.path.getmtime(inputname.replace("\\", "/")):
+            for inputname, stamp in hdf["timestamps"].items():
+                source = inputname.replace("\\", "/")
+                if stamp[()] < os.path.getmtime(source):
                     if log:
-                        print("[%s] Archive %s has newer time stamp" % (self.__class__.__name__, inputname))
+                        print("[%s] Archive %s has newer time stamp" % (type(self).__name__, inputname))
                     return True
 
         return False
 
+    # -- growable dataset sink -------------------------------------------------------
+
     def createDataset(self, unpacked):
-        dataset = self.hdf.create_dataset(
+        sink = self.hdf.create_dataset(
             self.datanames[0], shape=unpacked.shape, maxshape=(None, ) + unpacked.shape[1:],
             dtype=unpacked.dtype, compression=self.compress
         )
-        dataset[:] = unpacked
-        return dataset
+        sink[:] = unpacked
+        return sink
+
+    def _appendSamples(self, block):
+        if self.dataset is None:
+            self.dataset = self.createDataset(block)
+        else:
+            end = self.samples + block.shape[0]
+            if end > self.dataset.shape[0]:
+                self.dataset.resize((end, ) + self.dataset.shape[1:])
+
+            self.dataset[self.samples:end] = block
+
+        self.samples += block.shape[0]
+
+    def _budgetLeft(self):
+        return None if self.maxsamples is None else self.maxsamples - self.samples
+
+    # -- main entry ---------------------------------------------------------------------
 
     def load(self, inputnames, maxsamples=None, filepacksize=5000, compress="gzip", log=True):
         self.log = log
-
-        if isinstance(inputnames, str):
-            inputnames = [inputnames]
+        sources = [inputnames] if isinstance(inputnames, str) else inputnames
 
         if self.cachename is None:
-            self.cachename = os.path.splitext(inputnames[0])[0] + ".hdf"
+            self.cachename = os.path.splitext(sources[0])[0] + ".hdf"
 
-        if self.checkNeedToLoad(log):
-            if log:
-                print("[%s] Creating cache file %s ..." % (self.__class__.__name__, self.cachename))
+        if not self.checkNeedToLoad(log):
+            self._say("Using cache %s ...", self.cachename)
+        else:
+            self._say("Creating cache file %s ...", self.cachename)
 
             with h5py.File(self.cachename, "w") as hdf:
-                timeGrp = hdf.create_group("timestamps")
-                for name in inputnames:
-                    timeGrp.create_dataset(os.path.normpath(name).replace("/", "\\"),
-                                           data=os.path.getmtime(name))
+                stamps = hdf.create_group("timestamps")
+                for source in sources:
+                    key = os.path.normpath(source).replace("/", "\\")
+                    stamps.create_dataset(key, data=os.path.getmtime(source))
 
-                self.hdf = hdf
-                self.compress = compress
-                self.dataset = None
-                self.maxsamples = maxsamples
-                self.samples = 0
+                self.hdf, self.compress = hdf, compress
+                self.dataset, self.maxsamples, self.samples = None, maxsamples, 0
 
-                for i, inputname in enumerate(inputnames):
-                    if log:
-                        print("[%s] Unpacking archive %s (%d out of %d) ..." %
-                              (self.__class__.__name__, inputname, i + 1, len(inputnames)))
+                for i, source in enumerate(sources):
+                    self._say("Unpacking archive %s (%d out of %d) ...", source, i + 1, len(sources))
+                    self.unpack(source, filepacksize)
 
-                    self.unpack(inputname, filepacksize)
-
-                    if self.maxsamples is not None and self.samples == self.maxsamples:
-                        print("[%s] Reached max limit of samples (%d)" %
-                              (self.__class__.__name__, self.maxsamples))
+                    if self._budgetLeft() == 0:
+                        print("[%s] Reached max limit of samples (%d)" % (type(self).__name__, self.maxsamples))
                         break
-
-        elif log:
-            print("[%s] Using cache %s ..." % (self.__class__.__name__, self.cachename))
 
         return h5py.File(self.cachename, "r")[self.datanames[0]]
 
@@ -108,63 +128,44 @@ class InputLoader(DataLoader):
         with self.openInput(inputname) as inp:
             files = self.getFilelist(inp)
 
-            packs = [files[i:i + filepacksize] for i in range(0, len(files), filepacksize)]
+            for idx in range(0, len(files), filepacksize):
+                packNo, packTotal = idx // filepacksize + 1, -(-len(files) // filepacksize)
+                self._say("Started unpacking pack %d out of %d ...", packNo, packTotal)
 
-            for idx, pack in enumerate(packs):
-                if self.log:
-                    print("[%s] Started unpacking pack %d out of %d ..." %
-                          (self.__class__.__name__, idx + 1, len(packs)))
+                self.cacheFilepack(inp, files[idx:idx + filepacksize])
 
-                self.cacheFilepack(inp, pack)
-
-                if self.maxsamples is not None and self.samples == self.maxsamples:
+                if self._budgetLeft() == 0:
                     break
 
     def cacheFilepack(self, inp, pack):
-        data, nsamples = None, 0
+        batches, pending = [], 0
 
-        for i, file in enumerate(pack):
+        for file in pack:
             try:
                 batch = self.onFile(self.openFile(inp, file))
             except Exception as e:
                 raise RuntimeError("Unpacking failure: %s" % e)
 
-            if data is None:
-                data = np.empty((len(pack) - 1 + batch.shape[0], ) + batch.shape[1:], dtype=batch.dtype)
+            batches.append(batch)
+            pending += batch.shape[0]
 
-            if nsamples + batch.shape[0] > data.shape[0]:
-                newShape = (int(self.resizeFactor * (data.shape[0] + batch.shape[0])), ) + data.shape[1:]
-                newData = np.empty(newShape, dtype=batch.dtype)
-                newData[:data.shape[0]] = data
-                data = newData
-
-            data[nsamples:nsamples + batch.shape[0]] = batch
-            nsamples += batch.shape[0]
-
-            if self.maxsamples is not None and self.samples + nsamples >= self.maxsamples:
-                data = data[:self.maxsamples - self.samples]
-                nsamples = self.maxsamples - self.samples
+            budget = self._budgetLeft()
+            if budget is not None and pending >= budget:
                 break
 
-        data = data[:nsamples]
+        block = np.concatenate(batches, axis=0) if len(batches) > 1 else batches[0]
 
-        if self.dataset is None:
-            self.dataset = self.createDataset(data)
-        else:
-            if self.samples + nsamples > self.dataset.shape[0]:
-                self.dataset.resize((self.samples + nsamples, ) + self.dataset.shape[1:])
+        budget = self._budgetLeft()
+        if budget is not None:
+            block = block[:budget]
 
-            self.dataset[self.samples:self.samples + nsamples] = data
-
-        self.samples += nsamples
+        self._appendSamples(block)
 
     def getFilelist(self, inp):
-        lst = self.loadFilelist(inp)
+        files = self.loadFilelist(inp)
+        return files if self.onFileList is None else self.onFileList(files)
 
-        if self.onFileList is not None:
-            lst = self.onFileList(lst)
-
-        return lst
+    # -- archive access (subclass surface) ---------------------------------------------
 
     def checkInput(self, inputname):
         raise NotImplementedError()

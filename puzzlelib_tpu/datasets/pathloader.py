@@ -1,5 +1,11 @@
-"""Reference: /root/reference/Datasets/PathLoader.py."""
+"""Filesystem-directory input source.
 
+API parity target: /root/reference/Datasets/PathLoader.py — walks a directory
+tree for files with matching extensions; ``doOpen=False`` hands file paths to
+``onFile`` instead of open handles.
+"""
+
+import contextlib
 import os
 
 from puzzlelib_tpu.datasets.inputloader import InputLoader
@@ -10,30 +16,21 @@ class PathLoader(InputLoader):
         super().__init__(onFile, exts, dataname, cachename, onFileList)
         self.doOpen = doOpen
 
-    class Path:
-        def __init__(self, path):
-            self.path = path
-
-        def __enter__(self):
-            return self
-
-        def __exit__(self, exc_type, exc_val, exc_tb):
-            pass
-
     def checkInput(self, path):
         if not os.path.exists(path):
             raise RuntimeError("Path '%s' does not exist" % path)
 
     def openInput(self, path):
-        return self.Path(path)
+        # a directory needs no closing; yield the root path itself
+        return contextlib.nullcontext(path)
 
-    def loadFilelist(self, path):
-        lst = []
-        for dirpath, dirnames, filenames in os.walk(path.path):
-            lst.extend(file for file in filenames if any(file.lower().endswith(ext) for ext in self.exts))
+    def loadFilelist(self, root):
+        found = []
+        for _, _, filenames in os.walk(root):
+            found += filter(self._matches, filenames)
 
-        return lst
+        return found
 
-    def openFile(self, path, file):
-        fullname = os.path.join(path.path, file)
+    def openFile(self, root, file):
+        fullname = os.path.join(root, file)
         return open(fullname, mode="rb") if self.doOpen else fullname

@@ -277,13 +277,31 @@ class FusedStep:
     def _traceMany(self, state, hyper, t0, key, dataK, targetK):
         """K train steps inside ONE program: lax.scan over the leading step
         dim of (dataK, targetK) carrying the state buffers — one dispatch for
-        K steps, amortizing per-execute host/relay latency."""
-        def body(st, xs):
-            d, tgt, i = xs
-            stepKey = jax.random.fold_in(key, i)
-            return self._traceStep(st, hyper, t0 + i.astype(jnp.float32), stepKey, d, tgt), None
+        K steps, amortizing per-execute host/relay latency.
 
-        state, _ = jax.lax.scan(body, list(state), (dataK, targetK, jnp.arange(dataK.shape[0])))
+        devErr is summed across the K steps (each step overwrites it), so
+        ``cost.getError()`` after a grouped dispatch = mean over all K*b
+        samples, consistent with the single-step semantics."""
+        devErrSlot = next((i for i, buf in enumerate(self.buffers) if buf is self.cost.devErr), None)
+
+        def body(carry, xs):
+            st, errSum = carry
+            d, tgt, i = xs
+
+            stepKey = jax.random.fold_in(key, i)
+            st = self._traceStep(st, hyper, t0 + i.astype(jnp.float32), stepKey, d, tgt)
+
+            if devErrSlot is not None:
+                errSum = errSum + st[devErrSlot].astype(jnp.float32)
+
+            return (st, errSum), None
+
+        carry0 = (list(state), jnp.zeros((), jnp.float32))
+        (state, errSum), _ = jax.lax.scan(body, carry0, (dataK, targetK, jnp.arange(dataK.shape[0])))
+
+        if devErrSlot is not None:
+            state[devErrSlot] = errSum.astype(state[devErrSlot].dtype)
+
         return state
 
     def many(self, data, target, steps):

@@ -25,7 +25,14 @@ class Calculator(Handler):
         return state["devData"]
 
     def onMacroBatchStart(self, idx, macroBatchSize, state):
-        state["devSize"] = macroBatchSize
+        # clamp to the actual extent of the final (possibly partial) macro-batch;
+        # the reference reserves the full macroBatchSize and breaks when the
+        # dataset is smaller than one macro-batch
+        extent = macroBatchSize
+        if "hostSize" in state:
+            extent = min(extent, state["hostSize"] - idx * macroBatchSize)
+
+        state["devSize"] = extent
 
     def onMacroBatchFinish(self, idx, macroBatchSize, state):
         if "hostData" not in state:
@@ -35,7 +42,8 @@ class Calculator(Handler):
             state["hostData"] = self.parseShapeTree(state["devData"], onData=reserveHostData)
 
         def copyHostData(indata, outdata):
-            outdata[idx * macroBatchSize:(idx + 1) * macroBatchSize] = indata.get()
+            start = idx * macroBatchSize
+            outdata[start:start + indata.shape[0]] = indata.get()
 
         self.parseShapeTree(state["devData"], copyHostData, state["hostData"])
         del state["devData"]

@@ -1,7 +1,10 @@
-"""Batching engine (reference: /root/reference/Handlers/Handler.py).
+"""Batching engine.
 
-Macro-batching stages host arrays into device-resident macro-batches, then
-iterates shuffled mini-batches - the out-of-core host RAM -> HBM pattern.
+API parity target: /root/reference/Handlers/Handler.py.  Two staging tiers:
+``handleFromHost`` slices host arrays into macro-batches and uploads each to
+the device in one transfer (host RAM -> HBM), then ``handle`` walks shuffled
+mini-batches of the resident macro-batch — the out-of-core pattern that keeps
+the TPU fed without holding the whole dataset in HBM.
 """
 
 import numpy as np
@@ -16,70 +19,73 @@ class Handler:
         self.batchsize = batchsize
         self.onBatchFinish = onBatchFinish
 
-        self.currBatch = 0
-        self.totalBatches = 0
+        self.currBatch, self.totalBatches = 0, 0
+        self.currMacroBatch, self.totalMacroBatches = 0, 0
 
-        self.currMacroBatch = 0
-        self.totalMacroBatches = 0
+    # -- tiling helpers ----------------------------------------------------------
 
-    def handleFromHost(self, data, state=None, macroBatchSize=10000, onMacroBatchFinish=None, random=True):
-        datasize = self.getDataSize(data)
-        self.totalMacroBatches = (datasize + macroBatchSize - 1) // macroBatchSize
+    @staticmethod
+    def _tileCount(datasize, tilesize):
+        return -(-datasize // tilesize)
 
-        order = np.random.permutation(self.totalMacroBatches) if random else np.arange(self.totalMacroBatches)
-
-        for i, n in enumerate(order):
-            macrobatch = self.sliceData(data, n, macroBatchSize, postSlice=lambda dat: gpuarray.to_gpu(dat))
-
-            self.currMacroBatch = i + 1
-
-            self.onMacroBatchStart(n, macroBatchSize, state)
-            self.handle(macrobatch, state, random=random)
-            self.onMacroBatchFinish(n, macroBatchSize, state)
-
-            if onMacroBatchFinish:
-                onMacroBatchFinish(self)
-
-    def handle(self, data, state=None, random=True):
-        datasize = self.getDataSize(data)
-        self.totalBatches = (datasize + self.batchsize - 1) // self.batchsize
-
-        order = np.random.permutation(self.totalBatches) if random else np.arange(self.totalBatches)
-
-        for i, n in enumerate(order):
-            batch = self.sliceData(data, n, self.batchsize, postSlice=lambda dat: dat)
-
-            self.currBatch = i + 1
-
-            self.handleBatch(batch, n, state)
-            self.module.reset()
-
-            if self.onBatchFinish:
-                self.onBatchFinish(self)
+    @staticmethod
+    def _tileOrder(count, shuffled):
+        return np.random.permutation(count) if shuffled else np.arange(count)
 
     @staticmethod
     def getDataSize(data):
-        while isinstance(data, list):
-            data = data[0]
+        head = data
+        while isinstance(head, list):
+            head = head[0]
 
-        return data.shape[0]
-
-    @classmethod
-    def parseShapeTree(cls, data, onData, auxdata=None):
-        if isinstance(data, list):
-            return [
-                cls.parseShapeTree(dat, onData, auxdata[i] if auxdata is not None else None)
-                for i, dat in enumerate(data)
-            ]
-
-        return onData(data, auxdata) if auxdata is not None else onData(data)
+        return head.shape[0]
 
     @classmethod
     def sliceData(cls, data, idx, batchsize, postSlice):
         if isinstance(data, list):
-            return [cls.sliceData(dat, idx, batchsize, postSlice) for dat in data]
+            return [cls.sliceData(item, idx, batchsize, postSlice) for item in data]
 
-        return postSlice(data[idx * batchsize:(idx + 1) * batchsize])
+        start = idx * batchsize
+        return postSlice(data[start:start + batchsize])
+
+    @classmethod
+    def parseShapeTree(cls, data, onData, auxdata=None):
+        if not isinstance(data, list):
+            return onData(data, auxdata) if auxdata is not None else onData(data)
+
+        aux = [None] * len(data) if auxdata is None else auxdata
+        return [cls.parseShapeTree(item, onData, a) for item, a in zip(data, aux)]
+
+    # -- staging loops --------------------------------------------------------------
+
+    def handleFromHost(self, data, state=None, macroBatchSize=10000, onMacroBatchFinish=None, random=True):
+        self.totalMacroBatches = self._tileCount(self.getDataSize(data), macroBatchSize)
+
+        for ordinal, n in enumerate(self._tileOrder(self.totalMacroBatches, random), start=1):
+            staged = self.sliceData(data, n, macroBatchSize, postSlice=gpuarray.to_gpu)
+            self.currMacroBatch = ordinal
+
+            self.onMacroBatchStart(n, macroBatchSize, state)
+            self.handle(staged, state, random=random)
+            self.onMacroBatchFinish(n, macroBatchSize, state)
+
+            if onMacroBatchFinish is not None:
+                onMacroBatchFinish(self)
+
+    def handle(self, data, state=None, random=True):
+        self.totalBatches = self._tileCount(self.getDataSize(data), self.batchsize)
+
+        for ordinal, n in enumerate(self._tileOrder(self.totalBatches, random), start=1):
+            batch = self.sliceData(data, n, self.batchsize, postSlice=lambda view: view)
+            self.currBatch = ordinal
+
+            self.handleBatch(batch, n, state)
+            self.module.reset()
+
+            if self.onBatchFinish is not None:
+                self.onBatchFinish(self)
+
+    # -- subclass surface --------------------------------------------------------------
 
     def onMacroBatchStart(self, idx, macroBatchSize, state):
         pass

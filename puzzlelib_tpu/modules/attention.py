@@ -63,14 +63,21 @@ class MultiHeadAttention(Module):
             data.jax, wq, wk, wv, wo, bq, bk, bv, bo,
             nheads=self.nheads, causal=self.causal, algo=algo
         ))
+        # any cached backward belongs to the previous forward
+        self._vjpCache, self._vjpGradId = None, None
 
     def _vjp(self, grad):
-        if getattr(self, "_vjpCache", None) is None:
+        # cache keyed on the grad buffer identity: updateGrad and accGradParams
+        # share one backward per (forward, grad) pair, while a second backward
+        # with a different grad recomputes instead of returning stale values
+        if getattr(self, "_vjpCache", None) is None or self._vjpGradId != id(grad.jax):
             (wq, wk, wv, wo), (bq, bk, bv, bo) = self._weights()
             self._vjpCache = attnops.mhaBackward(
                 self.inData.jax, wq, wk, wv, wo, bq, bk, bv, bo, grad.jax,
                 nheads=self.nheads, causal=self.causal
             )
+            self._vjpGradId = id(grad.jax)
+
         return self._vjpCache
 
     def updateGrad(self, grad):

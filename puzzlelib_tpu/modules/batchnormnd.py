@@ -1,4 +1,10 @@
-"""N-d batch normalization (reference: /root/reference/Modules/BatchNormND.py)."""
+"""N-dimensional batch normalization.
+
+API parity target: /root/reference/Modules/BatchNormND.py (cuDNN-spatial-mode
+semantics: per-map statistics over batch and spatial dims, running mean/var
+blended with a decaying factor).  Under a fused trace the prop counter is a
+traced step value from ``fusedctx`` so the compiled step stays step-agnostic.
+"""
 
 import numpy as np
 
@@ -19,88 +25,82 @@ class BatchNormND(Module):
         if inplace and Config.showWarnings:
             Config.getLogger().info("Warning: %s is using inplace flag", self)
 
-        self.maps = maps
-        self.epsilon = epsilon
-        self.initFactor = initFactor
-        self.minFactor = minFactor
+        self.maps, self.epsilon = maps, epsilon
+        self.initFactor, self.minFactor = initFactor, minFactor
         self.numOfProps = 0
-
         self.affine = affine
 
-        self.scale, self.bias, self.mean, self.var = None, None, None, None
-        self.savemean, self.saveinvvar, self.scalegrad, self.biasgrad = None, None, None, None
+        self.scale = self.bias = self.mean = self.var = None
+        self.savemean = self.saveinvvar = None
+        self.scalegrad = self.biasgrad = None
 
-        if empty:
-            return
+        if not empty:
+            self._initState((1, maps) + self.repeat(1, nd), sscale)
 
-        shape = (1, maps) + self.repeat(1, nd)
-        scale = np.random.normal(1.0, sscale if affine else 0.0, shape).astype(self.calctype)
+    def _initState(self, shape, sscale):
+        # scale jittered around 1 when affine (so the map is learnable from
+        # the start), exactly 1 otherwise; running stats start at (0, 1)
+        jitter = sscale if self.affine else 0.0
+        initScale = np.random.normal(1.0, jitter, shape).astype(self.calctype)
 
-        self.setVar("scale", Variable(gpuarray.to_gpu(scale)))
+        self.setVar("scale", Variable(gpuarray.to_gpu(initScale)))
         self.setVar("bias", Variable(gpuarray.zeros(shape, dtype=self.calctype)))
 
         self.setAttr("mean", gpuarray.zeros(shape, dtype=self.calctype))
         self.setAttr("var", gpuarray.to_gpu(np.ones(shape, dtype=self.calctype)))
 
+    def _blendFactor(self):
+        """Decaying running-stats blend weight, floored at minFactor."""
+        from puzzlelib_tpu import fusedctx
+
+        if fusedctx.active():
+            import jax.numpy as jnp
+            return jnp.maximum(self.initFactor / fusedctx.stepOr(1), self.minFactor)
+
+        self.numOfProps += 1
+        return max(self.initFactor / self.numOfProps, self.minFactor)
+
     def updateData(self, data):
-        if self.train:
-            if self.inplace:
-                raise ModuleError("%s: using inplace flag in train mode is prohibited" % self)
+        if not self.train:
+            self.data = batchNormNd(data, self.scale, self.bias, self.mean, self.var,
+                                    self.epsilon, 0, True, out=data if self.inplace else None)
+            return
 
-            from puzzlelib_tpu import fusedctx
+        if self.inplace:
+            raise ModuleError("%s: using inplace flag in train mode is prohibited" % self)
 
-            if fusedctx.active():
-                import jax.numpy as jnp
-                factor = jnp.maximum(self.initFactor / fusedctx.stepOr(1), self.minFactor)
-            else:
-                self.numOfProps += 1
-                factor = max(self.initFactor / self.numOfProps, self.minFactor)
-
-            self.data, self.savemean, self.saveinvvar = batchNormNd(
-                data, self.scale, self.bias, self.mean, self.var, self.epsilon, factor, False
-            )
-
-        else:
-            self.data = batchNormNd(
-                data, self.scale, self.bias, self.mean, self.var, self.epsilon, 0, True,
-                out=data if self.inplace else None
-            )
+        self.data, self.savemean, self.saveinvvar = batchNormNd(
+            data, self.scale, self.bias, self.mean, self.var, self.epsilon, self._blendFactor(), False
+        )
 
     def updateGrad(self, grad):
-        tup = batchNormNdBackward(self.inData, grad, self.scale, self.savemean, self.saveinvvar, self.epsilon)
+        ingrad, dscale, dbias = batchNormNdBackward(
+            self.inData, grad, self.scale, self.savemean, self.saveinvvar, self.epsilon
+        )
 
+        self.grad = ingrad
         if self.affine:
-            self.grad, self.scalegrad, self.biasgrad = tup
-        else:
-            self.grad, _, _ = tup
+            self.scalegrad, self.biasgrad = dscale, dbias
 
     def accGradParams(self, grad, scale=1.0, momentum=0.0):
-        if self.affine:
-            Blas.addVectorToVector(
-                self.scalegrad.ravel(), self.vars["scale"].grad.ravel(), out=self.vars["scale"].grad.ravel(),
-                alpha=scale, beta=momentum
-            )
-            Blas.addVectorToVector(
-                self.biasgrad.ravel(), self.vars["bias"].grad.ravel(), out=self.vars["bias"].grad.ravel(),
-                alpha=scale, beta=momentum
-            )
+        if not self.affine:
+            return
+
+        for varName, paramGrad in (("scale", self.scalegrad), ("bias", self.biasgrad)):
+            acc = self.vars[varName].grad.ravel()
+            Blas.addVectorToVector(paramGrad.ravel(), acc, out=acc, alpha=scale, beta=momentum)
 
     def dataShapeFrom(self, shape):
         return shape
 
-    def gradShapeFrom(self, shape):
-        return shape
+    gradShapeFrom = dataShapeFrom
 
     def reset(self):
         super().reset()
 
-        self.savemean, self.saveinvvar = None, None
+        self.savemean = self.saveinvvar = None
         if self.affine:
-            self.scalegrad, self.biasgrad = None, None
+            self.scalegrad = self.biasgrad = None
 
     def calcMode(self, T):
-        dtypes = {dtype for dtype, _ in gpuarray.dtypesSupported()}
-        if T not in dtypes:
-            raise ModuleError("Unsupported dtype %s" % T)
-
-        self.calctype = T
+        self.supportedDtypesCalcMode(T)

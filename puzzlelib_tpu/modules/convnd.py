@@ -1,8 +1,9 @@
-"""N-d convolution module (reference: /root/reference/Modules/ConvND.py).
+"""N-d convolution module.
 
-Algo fields are kept for API/blueprint parity; XLA owns algorithm selection, so
-``optimizeForShape`` pre-times the compiled kernels (warming the jit cache)
-instead of picking cuDNN algos.
+API parity target: /root/reference/Modules/ConvND.py (grouped conv, bias,
+cuDNN-style algo fields).  The algo enums are kept for API/blueprint parity;
+on TPU ``optimizeForShape`` drives the Pallas tile autotuner / jit warmup via
+``convNdbenchmark`` instead of picking cuDNN algorithms.
 """
 
 import numpy as np
@@ -20,64 +21,56 @@ class ConvND(Module):
                  name=None, initscheme=None, empty=False, groups=1):
         super().__init__(name)
 
-        self.stride = self.repeat(stride, nd)
-        self.pad = self.repeat(pad, nd)
+        self.stride, self.pad = self.repeat(stride, nd), self.repeat(pad, nd)
         self.dilation = self.repeat(dilation, nd)
+        self.useBias, self.groups = useBias, groups
 
-        self.useBias = useBias
-        self.groups = groups
-
+        # cuDNN-parity algo slots; "auto" lets the backend (XLA/Pallas) choose
         self.fwdAlgo = ConvFwdAlgo.auto
         self.bwdFilterAlgo = ConvBwdFilterAlgo.auto
         self.bwdDataAlgo = ConvBwdDataAlgo.auto
 
-        if inmaps % groups != 0 or outmaps % groups != 0:
+        if inmaps % groups or outmaps % groups:
             raise ModuleError(
                 "Number of input and output maps must be divisible by number of groups "
                 "(%d inmaps, %d outmaps, %d groups)" % (inmaps, outmaps, groups)
             )
 
-        inmaps //= groups
+        self.W, self.b = None, None
 
-        self.W = None
-        self.b = None
+        if not empty:
+            self._initParams(outmaps, inmaps // groups, self.repeat(size, nd), initscheme, wscale, nd)
 
-        if empty:
-            return
-
-        Wshape = (outmaps, inmaps, *self.repeat(size, nd))
+    def _initParams(self, outmaps, inmapsPerGroup, window, initscheme, wscale, nd):
+        Wshape = (outmaps, inmapsPerGroup) + window
         W = self.createTensorWithScheme(initscheme, Wshape, wscale)
 
-        self.setVar("W", Variable(gpuarray.empty(Wshape, dtype=self.calctype) if W is None else gpuarray.to_gpu(W)))
+        tensor = gpuarray.empty(Wshape, dtype=self.calctype) if W is None else gpuarray.to_gpu(W)
+        self.setVar("W", Variable(tensor))
 
-        if useBias:
-            bshape = (1, outmaps) + self.repeat(1, nd)
-            self.setVar("b", Variable(gpuarray.zeros(bshape, dtype=self.calctype)))
+        if self.useBias:
+            self.setVar("b", Variable(gpuarray.zeros((1, outmaps) + (1, ) * nd, dtype=self.calctype)))
 
     def optimizeForShape(self, shape, memlimit=None):
+        # pre-times compiled kernels / tunes Pallas tiles for this shape
         convNdbenchmark(shape, self.W.shape, self.stride, self.pad, self.dilation, self.groups, transpose=False)
 
     def installDefaultAlgos(self):
         pass
 
     def updateData(self, data):
-        self.data = convNd(
-            data, self.W, self.b, stride=self.stride, pad=self.pad, dilation=self.dilation,
-            groups=self.groups, algo=self.fwdAlgo
-        )
+        self.data = convNd(data, self.W, self.b, stride=self.stride, pad=self.pad,
+                           dilation=self.dilation, groups=self.groups, algo=self.fwdAlgo)
 
     def updateGrad(self, grad):
-        self.grad = convNdBackwardData(
-            grad, self.W, data=self.inData, stride=self.stride, pad=self.pad, dilation=self.dilation,
-            groups=self.groups, algo=self.bwdDataAlgo
-        )
+        self.grad = convNdBackwardData(grad, self.W, data=self.inData, stride=self.stride, pad=self.pad,
+                                       dilation=self.dilation, groups=self.groups, algo=self.bwdDataAlgo)
 
     def accGradParams(self, grad, scale=1.0, momentum=0.0):
-        convNdBackwardParams(
-            self.inData, grad, self.W, self.b, stride=self.stride, pad=self.pad, dilation=self.dilation,
-            groups=self.groups, wgrad=self.vars["W"].grad, bgrad=self.vars["b"].grad if self.b is not None else None,
-            scale=scale, momentum=momentum, algo=self.bwdFilterAlgo
-        )
+        bgrad = self.vars["b"].grad if self.b is not None else None
+        convNdBackwardParams(self.inData, grad, self.W, self.b, stride=self.stride, pad=self.pad,
+                             dilation=self.dilation, groups=self.groups, wgrad=self.vars["W"].grad,
+                             bgrad=bgrad, scale=scale, momentum=momentum, algo=self.bwdFilterAlgo)
 
     def dataShapeFrom(self, shape):
         raise NotImplementedError()
@@ -86,8 +79,5 @@ class ConvND(Module):
         raise NotImplementedError()
 
     def calcMode(self, T):
-        dtypes = {dtype for dtype, _ in gpuarray.dtypesSupported()}
-        if T not in dtypes:
-            raise ModuleError("Unsupported dtype %s" % T)
-
+        self.requireSupportedDtype(T)
         self.castVarsTo(T)

@@ -1,4 +1,10 @@
-"""Word embedding module (reference: /root/reference/Modules/Embedder.py)."""
+"""Word embedding module.
+
+API parity target: /root/reference/Modules/Embedder.py — gather rows of W by
+int32 token index; the backward pass is a scatter-add into W's gradient (no
+input gradient exists).  The vocabulary round-trips through checkpoints as a
+variable-length-string attribute.
+"""
 
 import h5py
 import numpy as np
@@ -11,45 +17,44 @@ from puzzlelib_tpu.variable import Variable
 from puzzlelib_tpu.modules.module import ModuleError, Module
 
 
+def _vocabArray(vocabulary):
+    """Normalize the ctor vocabulary argument to (size, string-array)."""
+    strDt = h5py.special_dtype(vlen=str)
+
+    if isinstance(vocabulary, int):
+        return vocabulary, np.empty((0, ), dtype=strDt)
+
+    if isinstance(vocabulary, dict):
+        words = np.empty((len(vocabulary), ), dtype=strDt)
+        for word, idx in vocabulary.items():
+            words[int(idx)] = word
+
+        return len(vocabulary), words
+
+    raise ModuleError("Unrecognized vocabulary parameter type")
+
+
 class Embedder(Module):
     def __init__(self, vocabulary, sentlength, embsize, onVocabulary=None, initscheme="uniform", wscale=1.0,
                  learnable=True, name=None):
         super().__init__(name)
-        args = dict(locals())
+        ctorArgs = dict(locals())
 
-        self.embsize = embsize
-        self.sentlength = sentlength
-
-        self.wgrad = None
+        self.embsize, self.sentlength = embsize, sentlength
         self.learnable = learnable
-        self.outgrad = None
+        self.wgrad, self.outgrad = None, None
 
-        dt = h5py.special_dtype(vlen=str)
-
-        if isinstance(vocabulary, dict):
-            vocabsize = len(vocabulary)
-            vocab = np.empty(shape=(vocabsize, ), dtype=dt)
-
-            for word, idx in vocabulary.items():
-                vocab[int(idx)] = word
-
-        elif isinstance(vocabulary, int):
-            vocabsize = vocabulary
-            vocab = np.empty(shape=(0, ), dtype=dt)
-
-        else:
-            raise ModuleError("Unrecognized vocabulary parameter type")
+        vocabsize, words = _vocabArray(vocabulary)
 
         self.vocab = None
-        self.setAttr("vocab", vocab)
+        self.setAttr("vocab", words)
 
-        args["vocabulary"] = vocabsize
-        self.registerBlueprint(args, exclude=["onVocabulary"])
+        ctorArgs["vocabulary"] = vocabsize
+        self.registerBlueprint(ctorArgs, exclude=["onVocabulary"])
 
-        Wshape = (vocabsize, embsize)
-        W = self.createTensorWithScheme(initscheme, Wshape, wscale, (embsize, vocabsize))
+        W = self.createTensorWithScheme(initscheme, (vocabsize, embsize), wscale, (embsize, vocabsize))
         if W is None:
-            W = np.empty(Wshape, dtype=np.float32)
+            W = np.empty((vocabsize, embsize), dtype=np.float32)
 
         if onVocabulary is not None:
             onVocabulary(W)
@@ -60,39 +65,40 @@ class Embedder(Module):
         self.varLoader = self.checkVarOnLoad
         self.attrLoader = self.checkAttrOnLoad
 
-    def checkVarOnLoad(self, paramName, dataset):
-        if paramName == "W":
-            if dataset.shape[1] != self.embsize:
-                raise ModuleError("Expected embedding size %s, was given %s" % (self.embsize, dataset.shape[1]))
+    # -- checkpoint hooks (embedding tables may change vocab size on load) -------
 
-            self.setVar("W", Variable(gpuarray.to_gpu(dataset)))
-        else:
+    def checkVarOnLoad(self, paramName, dataset):
+        if paramName != "W":
             raise ModuleError("Unknown parameter name '%s' for embedder" % paramName)
 
+        if dataset.shape[1] != self.embsize:
+            raise ModuleError("Expected embedding size %s, was given %s" % (self.embsize, dataset.shape[1]))
+
+        self.setVar("W", Variable(gpuarray.to_gpu(dataset)))
+
     def checkAttrOnLoad(self, attrName, dataset):
-        if attrName == "vocab":
-            self.setAttr("vocab", dataset)
-        else:
+        if attrName != "vocab":
             raise ModuleError("Unknown attribute name '%s' for embedder" % attrName)
 
+        self.setAttr("vocab", dataset)
+
     def getVocabulary(self):
-        voc = {}
+        if not self.hasAttr("vocab"):
+            return {}
 
-        if self.hasAttr("vocab"):
-            for i in range(self.vocab.shape[0]):
-                voc[self.vocab[i]] = i
+        return {word: index for index, word in enumerate(self.vocab)}
 
-        return voc
+    # -- compute -------------------------------------------------------------------
 
     def verifyData(self, data):
-        mn, mx = gpuarray.minimum(data).get(), gpuarray.maximum(data).get()
+        lo = int(gpuarray.minimum(data).get())
+        if lo < -1:
+            raise ModuleError("Embedder data verification failed, found index %s (< -1)" % lo)
 
-        if mn < -1:
-            raise ModuleError("Embedder data verification failed, found index %s (< -1)" % mn)
-
-        if mx >= self.W.shape[0]:
+        hi = int(gpuarray.maximum(data).get())
+        if hi >= self.W.shape[0]:
             raise ModuleError("Embedder data verification failed, found index %s (vocabulary size is %s)" %
-                              (mx, self.W.shape[0]))
+                              (hi, self.W.shape[0]))
 
     def updateData(self, data):
         if Config.verifyData:
@@ -101,7 +107,7 @@ class Embedder(Module):
         self.data = embed(data, self.W)
 
     def updateGrad(self, grad):
-        self.grad = None
+        self.grad = None  # tokens are not differentiable
 
     def accGradParams(self, grad, scale=1.0, momentum=0.0):
         self.outgrad = grad
@@ -114,9 +120,10 @@ class Embedder(Module):
         if self.learnable:
             embedBackwardParams(self.inData, self.outgrad, self.vars["W"].data, learnRate)
 
+    # -- shape/dtype contracts ------------------------------------------------------
+
     def dataShapeFrom(self, shape):
-        batchsize, sentlen = shape
-        return batchsize, sentlen, self.embsize
+        return shape[0], shape[1], self.embsize
 
     def gradShapeFrom(self, shape):
         raise ModuleError("Gradient propagation is undefined")
@@ -132,16 +139,14 @@ class Embedder(Module):
         if len(shape) != 3:
             raise ModuleError("Grad must be 3d tensor")
 
-        batchsize, sentlen, embsize = shape
-
-        if sentlen != self.sentlength:
-            raise ModuleError("Expected %d grad sentence length, %d was given" % (self.sentlength, sentlen))
-
-        if embsize != self.embsize:
-            raise ModuleError("Expected %d grad embedding size, %d was given" % (self.embsize, embsize))
-
-        if batchsize != self.inData.shape[0]:
-            raise ModuleError("Expected %d grad batch size, %d was given" % (self.inData.shape[0], batchsize))
+        expectations = (
+            (shape[1], self.sentlength, "Expected %d grad sentence length, %d was given"),
+            (shape[2], self.embsize, "Expected %d grad embedding size, %d was given"),
+            (shape[0], self.inData.shape[0], "Expected %d grad batch size, %d was given"),
+        )
+        for given, expected, message in expectations:
+            if given != expected:
+                raise ModuleError(message % (expected, given))
 
     def checkDataType(self, dtype):
         if dtype != np.int32:
@@ -152,8 +157,5 @@ class Embedder(Module):
         self.outgrad = None
 
     def calcMode(self, T):
-        dtypes = {dtype for dtype, _ in gpuarray.dtypesSupported()}
-        if T not in dtypes:
-            raise ModuleError("Unsupported dtype %s" % T)
-
+        self.requireSupportedDtype(T)
         self.castVarsTo(T)

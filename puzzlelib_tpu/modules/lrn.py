@@ -1,4 +1,10 @@
-"""LRN base (reference: /root/reference/Modules/LRN.py)."""
+"""Local-response-normalization base.
+
+API parity target: /root/reference/Modules/LRN.py — shared hyperparameter
+container for MapLRN / CrossMapLRN.  Shapes pass through unchanged; a
+``workspace`` slot caches whatever the backend kernel wants to reuse between
+the forward and backward passes (the denominator tensor on TPU).
+"""
 
 from puzzlelib_tpu.modules.module import ModuleError, Module
 
@@ -8,32 +14,25 @@ class LRN(Module):
         super().__init__(name)
         self.registerBlueprint(locals())
 
-        self.N = N
-        self.alpha = alpha
-        self.beta = beta
-        self.K = K
-
+        # window size / scaling / exponent / bias of the LRN denominator
+        self.N, self.alpha, self.beta, self.K = N, alpha, beta, K
         self.workspace = None
+
+    def _expectRank4(self, shape, what):
+        if len(shape) != 4:
+            raise ModuleError("%s must be 4d tensor" % what)
 
     def dataShapeFrom(self, shape):
         return shape
 
     def checkDataShape(self, shape):
-        if len(shape) != 4:
-            raise ModuleError("Data must be 4d tensor")
-
-    def gradShapeFrom(self, shape):
-        return shape
+        self._expectRank4(shape, "Data")
 
     def checkGradShape(self, shape):
-        if len(shape) != 4:
-            raise ModuleError("Grad must be 4d tensor")
+        self._expectRank4(shape, "Grad")
 
-    def updateData(self, data):
-        raise NotImplementedError()
-
-    def updateGrad(self, grad):
-        raise NotImplementedError()
+    # normalization preserves shape, so the grad map is the data map
+    gradShapeFrom = dataShapeFrom
 
     def reset(self):
         super().reset()

@@ -1,4 +1,4 @@
-"""Module base class - the imperative layer protocol.
+"""Module base class — the imperative layer protocol.
 
 API contract follows /root/reference/Modules/Module.py:39-471: explicit
 ``updateData`` (forward), ``updateGrad`` (input gradient) and ``accGradParams``
@@ -6,20 +6,17 @@ API contract follows /root/reference/Modules/Module.py:39-471: explicit
 train/eval/calc modes and init schemes.  The compute inside each module
 delegates to pure jitted functions from ``puzzlelib_tpu.ops``; backward passes
 use explicit VJPs, so the same primitives serve the fused traced train step.
+Checkpoint I/O is delegated to the schema codec in ``puzzlelib_tpu.hdf``.
 """
 
-import warnings
-import json
-import tempfile
 import math
-import os
+import warnings
 from enum import Enum
 
 import numpy as np
-import h5py
-from h5py import h5p, h5f
 
 from puzzlelib_tpu import config as Config
+from puzzlelib_tpu import hdf as hdfcodec
 from puzzlelib_tpu.backend import gpuarray
 from puzzlelib_tpu.variable import Variable
 
@@ -49,7 +46,19 @@ class MemoryUnit(str, Enum):
     kb = "kb"
 
 
+def _mapNested(fn, data):
+    """Apply ``fn`` to every leaf of a (possibly nested) list/tuple of arrays."""
+    if isinstance(data, (tuple, list)):
+        return [_mapNested(fn, item) for item in data]
+
+    return fn(data)
+
+
 class Module:
+    # subclasses raising container-flavored errors override these two
+    _errorKind = "Module"
+    _errorType = ModuleError
+
     def __init__(self, name=None):
         self.name = name
 
@@ -59,29 +68,33 @@ class Module:
         self.vars = {}
         self.attrs = {}
 
+        # dataflow hints consumed by Sequential's inplace validation
         self.gradUsesOutData = False
         self.movesData = False
         self.movesGrad = False
 
-        self.grad = None
+        self.inData, self.data, self.grad = None, None, None
 
-        self.inData = None
-        self.data = None
-
-        self.train = False if Config.globalEvalMode else True
+        self.train = not Config.globalEvalMode
         self.calctype = np.float32
 
+        # optional checkpoint interception hooks
         self.varLoader = None
         self.attrLoader = None
 
-    def registerBlueprint(self, args, exclude=None):
-        exclude = set() if exclude is None else exclude
-        ignore = {"self", "__class__"}
+    # -- blueprint / variable registry ---------------------------------------
 
-        self.blueprint = {key: None if key in exclude else arg for key, arg in args.items() if key not in ignore}
+    def registerBlueprint(self, args, exclude=None):
+        hidden = {"self", "__class__"}
+        masked = set() if exclude is None else set(exclude)
+
+        self.blueprint = {
+            key: (None if key in masked else value)
+            for key, value in args.items() if key not in hidden
+        }
 
     def getBlueprint(self):
-        return {"classname": self.__class__.__name__, "scheme": self.blueprint}
+        return {"classname": type(self).__name__, "scheme": self.blueprint}
 
     def setVar(self, name, var):
         setattr(self, name, var.data)
@@ -92,15 +105,13 @@ class Module:
 
     def getVarTable(self, vartable=None, name=None, root=True):
         if root and name is None:
-            name = self.name if self.name is not None else ""
+            name = self.name or ""
 
-        vartable = {} if vartable is None else vartable
+        if vartable is None:
+            vartable = {}
 
         for paramName, var in self.vars.items():
-            if var not in vartable:
-                vartable[var] = []
-
-            vartable[var].append("%s%s" % (name, paramName))
+            vartable.setdefault(var, []).append("%s%s" % (name, paramName))
 
         return vartable
 
@@ -113,17 +124,18 @@ class Module:
 
     def node(self, *nodes):
         from puzzlelib_tpu.containers.node import Node
-        return Node(self, parents=None if len(nodes) == 0 else list(nodes))
+        return Node(self, parents=list(nodes) if nodes else None)
+
+    # -- forward / backward protocol -------------------------------------------
 
     def __call__(self, data):
         if not Config.disableDtypeShapeChecks:
             self.checkDataShape(self.acquireShapesFrom(data))
             self.checkDataType(self.acquireDtypesFrom(data))
 
-        self.data = None
-        self.inData = data
-
+        self.data, self.inData = None, data
         self.updateData(data)
+
         return self.data
 
     def backward(self, grad, updParamGrads=True, updGrad=True, scale=1.0, momentum=0.0):
@@ -145,15 +157,13 @@ class Module:
     def updateGrad(self, grad):
         raise NotImplementedError()
 
-    def zeroGradParams(self):
-        for var in self.vars.values():
-            if var.hasUpdater:
-                continue
-
-            var.grad.fill(0)
-
     def accGradParams(self, grad, scale=1.0, momentum=0.0):
         pass
+
+    def zeroGradParams(self):
+        for var in self.vars.values():
+            if not var.hasUpdater:
+                var.grad.fill(0)
 
     def updateParams(self, learnRate):
         from puzzlelib_tpu.backend import blas as Blas
@@ -164,110 +174,109 @@ class Module:
     def optimizeForShape(self, shape, memlimit=None):
         pass
 
+    # -- persistence -------------------------------------------------------------
+
+    def _checkpointPath(self, name, assumeUniqueNames):
+        """Dotted path of this module inside the checkpoint namespace."""
+        if name is None:
+            name = self.name or ""
+
+        if assumeUniqueNames and name:
+            # collapse the middle of the path: root + leaf identify the module
+            pieces = name.split(".")
+            name = "%s.%s" % (pieces[0], pieces[-1])
+
+        return name
+
+    def _failPersist(self, verb, name, exc):
+        raise self._errorType("%s %s %s error: %s" % (self._errorKind, name, verb, exc))
+
+    def _writeState(self, hdf, varlinks, name, compress, assumeUniqueNames=False):
+        """Leaf persistence: deduped vars + flat attr datasets."""
+        for paramName, var in self.vars.items():
+            hdfcodec.storeParam(hdf, "%s.%s" % (name, paramName), var, varlinks, compress)
+
+        hdfcodec.storeAttrs(
+            hdf, {"%s.%s" % (name, attrName): attr for attrName, attr in self.attrs.items()},
+            compress=compress,
+        )
+
+    def _readState(self, hdf, initvars, name, assumeUniqueNames):
+        for paramName, var in self.vars.items():
+            if var in initvars:
+                continue  # shared variable already restored through another link
+
+            param = hdfcodec.fetchParam(hdf, "%s.%s" % (name, paramName))
+
+            if self.varLoader is not None:
+                self.varLoader(paramName, param)
+            else:
+                var.data.set(param.astype(var.data.dtype, casting="safe", copy=False))
+
+            initvars[var] = True
+
+        for attrName, attr in self.attrs.items():
+            value = hdfcodec.fetchAttr(hdf, "%s.%s" % (name, attrName))
+
+            if self.attrLoader is not None:
+                self.attrLoader(attrName, value)
+            elif isinstance(attr, gpuarray.GPUArray):
+                attr.set(value.astype(attr.dtype, casting="safe", copy=False))
+            else:
+                np.copyto(attr, value.astype(attr.dtype, casting="safe", copy=False))
+
     def save(self, hdf=None, varlinks=None, name=None, compress="gzip", assumeUniqueNames=False,
              withBlueprint=False, isRoot=True):
-        serialize = True if hdf is None else False
+        wantImage = hdf is None
+        hdf, _ = hdfcodec.openStore(hdf, "w")
 
-        hdf = self.ensureHdf(hdf, "w")
+        name = self._checkpointPath(name, assumeUniqueNames)
         varlinks = {} if varlinks is None else varlinks
 
-        if name is None:
-            name = self.name if self.name is not None else ""
-
-        if assumeUniqueNames and len(name) > 0:
-            tokens = name.split(sep=".")
-            name = "%s.%s" % (tokens[0], tokens[-1])
-
+        image = None
         try:
-            paramGrp, linkGrp = hdf.require_group("params"), hdf.require_group("links")
-
-            for paramName, var in self.vars.items():
-                if var in varlinks:
-                    idx = varlinks[var]
-                else:
-                    idx = len(varlinks)
-                    paramGrp.create_dataset(str(idx), data=var.data.get(), compression=compress)
-                    varlinks[var] = idx
-
-                linkGrp["%s.%s" % (name, paramName)] = idx
-
-            if len(self.attrs) > 0:
-                attrGrp = hdf.require_group("attrs")
-
-                for attrName, attr in self.attrs.items():
-                    attrGrp.create_dataset(
-                        "%s.%s" % (name, attrName),
-                        data=attr.get() if isinstance(attr, gpuarray.GPUArray) else attr, compression=compress
-                    )
+            self._writeState(hdf, varlinks, name, compress, assumeUniqueNames)
 
             if withBlueprint:
-                hdf.create_dataset(
-                    "blueprint", (), dtype=h5py.special_dtype(vlen=str),
-                    data=json.dumps(self.getBlueprint(), indent=4, sort_keys=True)
-                )
+                hdfcodec.storeBlueprint(hdf, self.getBlueprint())
 
-            buffer = None
-            if isRoot and serialize:
-                hdf.flush()
-                buffer = hdf.id.get_file_image()
+            if isRoot and wantImage:
+                image = hdfcodec.snapshot(hdf)
 
         except Exception as e:
-            raise ModuleError("Module %s save error: %s" % (name, e))
+            self._failPersist("save", name, e)
 
         finally:
             if isRoot:
                 hdf.close()
 
-        return buffer
+        return image
 
     def load(self, hdf, initvars=None, name=None, assumeUniqueNames=False, isRoot=True):
-        hdf = self.ensureHdf(hdf, "r")
+        hdf, _ = hdfcodec.openStore(hdf, "r")
+
+        name = self._checkpointPath(name, assumeUniqueNames)
         initvars = {} if initvars is None else initvars
-
-        if name is None:
-            name = self.name if self.name is not None else ""
-
-        if assumeUniqueNames and len(name) > 0:
-            tokens = name.split(sep=".")
-            name = "%s.%s" % (tokens[0], tokens[-1])
 
         with warnings.catch_warnings():
             warnings.filterwarnings("error")
 
             try:
-                paramGrp, linkGrp = hdf["params"], hdf["links"]
-
-                for paramName, var in self.vars.items():
-                    if var not in initvars:
-                        idx = str(linkGrp["%s.%s" % (name, paramName)][()])
-                        param = np.array(paramGrp[idx])
-
-                        if self.varLoader is not None:
-                            self.varLoader(paramName, param)
-                        else:
-                            var.data.set(param.astype(var.data.dtype, casting="safe", copy=False))
-
-                        initvars[var] = True
-
-                if len(self.attrs) > 0:
-                    attrGrp = hdf["attrs"]
-
-                    for attrName, attr in self.attrs.items():
-                        attrVal = np.array(attrGrp["%s.%s" % (name, attrName)])
-
-                        if self.attrLoader is not None:
-                            self.attrLoader(attrName, attrVal)
-                        elif isinstance(attr, gpuarray.GPUArray):
-                            attr.set(attrVal.astype(attr.dtype, casting="safe", copy=False))
-                        else:
-                            np.copyto(attr, attrVal.astype(attr.dtype, casting="safe", copy=False))
+                self._readState(hdf, initvars, name, assumeUniqueNames)
 
             except Exception as e:
-                raise ModuleError("Module %s load error: %s" % (name, e))
+                self._failPersist("load", name, e)
 
             finally:
                 if isRoot:
                     hdf.close()
+
+    @staticmethod
+    def ensureHdf(file, mode):
+        store, _ = hdfcodec.openStore(file, mode)
+        return store
+
+    # -- modes ---------------------------------------------------------------------
 
     def trainMode(self):
         self.train = True
@@ -286,43 +295,54 @@ class Module:
     def reset(self):
         self.inData, self.data, self.grad = None, None, None
 
+    # -- shape / dtype validation -----------------------------------------------------
+
     def checkDataShape(self, shape):
+        pass
+
+    def checkGradShape(self, shape):
         pass
 
     def dataShapeFrom(self, shape):
         raise NotImplementedError()
 
-    def checkDataType(self, dtype):
-        self.genericCheckDataType(dtype)
-
-    def checkGradShape(self, shape):
-        pass
-
     def gradShapeFrom(self, shape):
         raise NotImplementedError()
+
+    def checkDataType(self, dtype):
+        self.genericCheckDataType(dtype)
 
     def checkGradType(self, dtype):
         self.genericCheckDataType(dtype)
 
     def genericCheckDataType(self, dtype):
-        if isinstance(dtype, (tuple, list)):
-            for d in dtype:
-                self.genericCheckDataType(d)
-        else:
-            if dtype != self.calctype:
-                raise ModuleError("Expected dtype %s, got %s" % (self.calctype, dtype))
+        mismatched = []
+        _mapNested(lambda d: mismatched.append(d) if d != self.calctype else None, dtype)
 
-    def __str__(self):
-        return "Module %s (name: %s)" % (self.__class__.__name__, self.name)
+        if mismatched:
+            raise ModuleError("Expected dtype %s, got %s" % (self.calctype, mismatched[0]))
+
+    @classmethod
+    def acquireShapesFrom(cls, data):
+        return _mapNested(lambda d: d.shape, data)
+
+    @classmethod
+    def acquireDtypesFrom(cls, data):
+        return _mapNested(lambda d: d.dtype, data)
+
+    # -- introspection -------------------------------------------------------------------
 
     def numOfParams(self):
         return sum(var.data.size for var in self.vars.values())
 
     def paramSize(self, unit=None):
-        size = sum(var.data.nbytes for var in self.vars.values())
-        return self.convertUnit(size, unit=unit) if unit is not None else size
+        nbytes = sum(var.data.nbytes for var in self.vars.values())
+        return nbytes if unit is None else self.convertUnit(nbytes, unit=unit)
 
-    # -- helpers -------------------------------------------------------------
+    def __str__(self):
+        return "Module %s (name: %s)" % (type(self).__name__, self.name)
+
+    # -- helpers ---------------------------------------------------------------------------
 
     def castVarsTo(self, T):
         """Recreate all vars in dtype T (shared helper for calcMode on
@@ -340,60 +360,39 @@ class Module:
 
         self.calctype = T
 
-    def supportedDtypesCalcMode(self, T):
+    @staticmethod
+    def requireSupportedDtype(T):
         dtypes = {dtype for dtype, _ in gpuarray.dtypesSupported()}
 
         if T not in dtypes:
             raise ModuleError("Unsupported dtype %s" % T)
 
+    def supportedDtypesCalcMode(self, T):
+        self.requireSupportedDtype(T)
         self.calctype = T
 
     @staticmethod
     def convertUnit(val, unit):
-        divider = {
-            MemoryUnit.kb: 1024,
-            MemoryUnit.mb: 1024 ** 2
-        }[unit]
-
-        return val / divider
+        return val / {MemoryUnit.kb: 1 << 10, MemoryUnit.mb: 1 << 20}[unit]
 
     @staticmethod
     def repeat(val, ntimes):
         return (val, ) * ntimes if isinstance(val, int) else tuple(val)
 
+    # -- parameter initialization ------------------------------------------------------------
+
     @staticmethod
-    def ensureHdf(file, mode):
-        if isinstance(file, str) or file is None:
-            driver, driverKwds = None, {}
-
-            if file is None:
-                file = tempfile.mktemp(suffix=".hdf")
-                driver, driverKwds = "core", {"backing_store": False}
-
-            dirname = os.path.dirname(os.path.abspath(file))
-            if not os.path.exists(dirname):
-                os.makedirs(dirname)
-
-            return h5py.File(file, mode, libver="earliest", driver=driver, **driverKwds)
-
-        elif isinstance(file, bytes):
-            fapl = h5p.create(h5p.FILE_ACCESS)
-            fapl.set_fapl_core()
-            fapl.set_file_image(file)
-
-            fid = h5f.open(tempfile.mktemp(suffix=".hdf").encode(), h5f.ACC_RDONLY, fapl=fapl)
-            return h5py.File(fid)
-
+    def inferNeuronsNumber(shape, transpose):
+        """Fan-out / fan-in pair of a parameter tensor shape."""
+        if len(shape) == 1:
+            fanOut = fanIn = shape[0]
+        elif len(shape) == 2:
+            fanIn, fanOut = shape
         else:
-            return file
+            field = int(np.prod(shape[2:]))
+            fanOut, fanIn = shape[0] * field, shape[1] * field
 
-    @classmethod
-    def acquireShapesFrom(cls, data):
-        return [cls.acquireShapesFrom(d) for d in data] if isinstance(data, (tuple, list)) else data.shape
-
-    @classmethod
-    def acquireDtypesFrom(cls, data):
-        return [cls.acquireDtypesFrom(d) for d in data] if isinstance(data, (tuple, list)) else data.dtype
+        return (fanIn, fanOut) if transpose else (fanOut, fanIn)
 
     @staticmethod
     def createTensorWithScheme(scheme, shape, wscale, factorShape=None, factorTranspose=False, dtype=np.float32):
@@ -405,58 +404,33 @@ class Module:
 
             scheme, factorType = scheme
 
-        scheme = InitScheme(scheme) if scheme is not None else scheme
-        factorType = FactorType(factorType)
+        scheme = None if scheme is None else InitScheme(scheme)
 
         outs, ins = Module.inferNeuronsNumber(shape if factorShape is None else factorShape, factorTranspose)
+        factor = {
+            FactorType.in_: ins,
+            FactorType.out: outs,
+            FactorType.avg: (outs + ins) / 2,
+        }[FactorType(factorType)]
 
-        if factorType == FactorType.avg:
-            factor = (outs + ins) / 2
-        elif factorType == FactorType.in_:
-            factor = ins
-        elif factorType == FactorType.out:
-            factor = outs
-        else:
-            raise NotImplementedError(factorType.value)
+        # each scheme maps to (sampler, scale); None defaults to xavier-uniform
+        samplers = {
+            None: ("uniform", math.sqrt(3.0 / factor)),
+            InitScheme.xavierUniform: ("uniform", math.sqrt(3.0 / factor)),
+            InitScheme.xavier: ("normal", math.sqrt(1.0 / factor)),
+            InitScheme.xavierNormal: ("normal", math.sqrt(1.0 / factor)),
+            InitScheme.he: ("normal", math.sqrt(2.0 / factor)),
+            InitScheme.gaussian: ("normal", wscale),
+            InitScheme.uniform: ("uniform", wscale),
+        }
 
         if scheme == InitScheme.none:
             return None
 
-        elif scheme == InitScheme.xavierUniform or scheme is None:
-            nwscale = math.sqrt(3.0 / factor)
-            return np.random.uniform(-nwscale, nwscale, shape).astype(dtype)
-
-        elif scheme == InitScheme.xavierNormal or scheme == InitScheme.xavier:
-            nwscale = math.sqrt(1.0 / factor)
-            return np.random.normal(0, nwscale, shape).astype(dtype)
-
-        elif scheme == InitScheme.he:
-            nwscale = math.sqrt(2.0 / factor)
-            return np.random.normal(0.0, nwscale, shape).astype(dtype)
-
-        elif scheme == InitScheme.gaussian:
-            return np.random.normal(0.0, wscale, shape).astype(dtype)
-
-        elif scheme == InitScheme.uniform:
-            return np.random.uniform(-wscale, wscale, shape).astype(dtype)
-
+        kind, width = samplers[scheme]
+        if kind == "uniform":
+            tensor = np.random.uniform(-width, width, shape)
         else:
-            raise NotImplementedError(scheme.value)
+            tensor = np.random.normal(0.0, width, shape)
 
-    @staticmethod
-    def inferNeuronsNumber(shape, transpose):
-        ndim = len(shape)
-
-        if ndim == 1:
-            return shape[0], shape[0]
-
-        elif ndim == 2:
-            neuronsIn, neuronsOut = shape
-
-        else:
-            outmaps, inmaps = shape[:2]
-            receptiveFieldSize = int(np.prod(shape[2:]))
-
-            neuronsOut, neuronsIn = outmaps * receptiveFieldSize, inmaps * receptiveFieldSize
-
-        return (neuronsIn, neuronsOut) if transpose else (neuronsOut, neuronsIn)
+        return tensor.astype(dtype)

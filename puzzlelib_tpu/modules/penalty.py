@@ -1,4 +1,9 @@
-"""Reference: /root/reference/Modules/Penalty.py."""
+"""Regularization penalty pass-through.
+
+API parity target: /root/reference/Modules/Penalty.py — forward is identity;
+backward folds an L1 (sign) or L2 (value) penalty on the activations into the
+incoming gradient, normalized by batch size.
+"""
 
 from enum import Enum
 
@@ -27,21 +32,22 @@ class Penalty(Module):
     def updateData(self, data):
         self.data = data
 
+    def _l1Grad(self, grad, strength):
+        out = gpuarray.empty(grad.shape, dtype=grad.dtype, allocator=memPool)
+        l1penaltyKer(out, grad, self.data, strength)
+        return out
+
+    def _l2Grad(self, grad, strength):
+        penalized = Blas.addVectorToVector(grad.ravel(), self.data.ravel(), alpha=1.0, beta=-strength)
+        return penalized.reshape(grad.shape)
+
     def updateGrad(self, grad):
-        if self.mode == PenaltyMode.l1:
-            self.grad = gpuarray.empty(grad.shape, dtype=grad.dtype, allocator=memPool)
-            l1penaltyKer(self.grad, grad, self.data, self.weight / grad.shape[0])
+        strength = self.weight / grad.shape[0]
+        kernel = {PenaltyMode.l1: self._l1Grad, PenaltyMode.l2: self._l2Grad}[self.mode]
 
-        elif self.mode == PenaltyMode.l2:
-            self.grad = Blas.addVectorToVector(
-                grad.ravel(), self.data.ravel(), alpha=1.0, beta=-self.weight / grad.shape[0]
-            ).reshape(grad.shape)
-
-        else:
-            raise NotImplementedError(self.mode)
+        self.grad = kernel(grad, strength)
 
     def dataShapeFrom(self, shape):
         return shape
 
-    def gradShapeFrom(self, shape):
-        return shape
+    gradShapeFrom = dataShapeFrom

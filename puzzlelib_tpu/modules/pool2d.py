@@ -1,7 +1,19 @@
-"""Reference: /root/reference/Modules/Pool2D.py."""
+"""2D pooling base (shared geometry for MaxPool2D / AvgPool2D).
 
-from puzzlelib_tpu.backend import gpuarray
+API parity target: /root/reference/Modules/Pool2D.py.  Output geometry is the
+standard floor convolution arithmetic per axis; the backward ``workspace``
+caches argmax indices (max pooling) between passes.
+"""
+
 from puzzlelib_tpu.modules.module import ModuleError, Module
+
+
+def _outExtent(inExtent, size, pad, stride):
+    return (inExtent + 2 * pad - size) // stride + 1
+
+
+def _inExtent(outExtent, size, pad, stride):
+    return (outExtent - 1) * stride + size - 2 * pad
 
 
 class Pool2D(Module):
@@ -16,53 +28,35 @@ class Pool2D(Module):
 
         self.workspace = None
 
+    def _window(self):
+        """Per-axis (size, pad, stride) triples in (h, w) order."""
+        return tuple(zip(self.size, self.pad, self.stride))
+
     def dataShapeFrom(self, shape):
-        batchsize, maps, inh, inw = shape
+        batchsize, maps = shape[:2]
+        hgeom, wgeom = self._window()
 
-        hsize, wsize = self.size
-        hpad, wpad = self.pad
-        hstride, wstride = self.stride
+        return batchsize, maps, _outExtent(shape[2], *hgeom), _outExtent(shape[3], *wgeom)
 
-        outh = (inh + 2 * hpad - hsize) // hstride + 1
-        outw = (inw + 2 * wpad - wsize) // wstride + 1
+    def gradShapeFrom(self, shape):
+        batchsize, maps = shape[:2]
+        hgeom, wgeom = self._window()
 
-        return batchsize, maps, outh, outw
+        return batchsize, maps, _inExtent(shape[2], *hgeom), _inExtent(shape[3], *wgeom)
 
     def checkDataShape(self, shape):
         if len(shape) != 4:
             raise ModuleError("Data must be 4d tensor")
 
-        _, _, inh, inw = shape
-
-        if inh + 2 * self.pad[0] < self.size[0]:
-            raise ModuleError("Data maps height is too small (got %d, expected at least %d)" %
-                              (inh + 2 * self.pad[0], self.size[0]))
-
-        if inw + 2 * self.pad[1] < self.size[1]:
-            raise ModuleError("Data maps width is too small (got %d, expected at least %d)" %
-                              (inw + 2 * self.pad[1], self.size[1]))
-
-    def gradShapeFrom(self, shape):
-        batchsize, maps, outh, outw = shape
-
-        hsize, wsize = self.size
-        hpad, wpad = self.pad
-        hstride, wstride = self.stride
-
-        inh = (outh - 1) * hstride - 2 * hpad + hsize
-        inw = (outw - 1) * wstride - 2 * wpad + wsize
-
-        return batchsize, maps, inh, inw
+        for extent, (size, pad, _), axis in zip(shape[2:], self._window(), ("height", "width")):
+            padded = extent + 2 * pad
+            if padded < size:
+                raise ModuleError("Data maps %s is too small (got %d, expected at least %d)" %
+                                  (axis, padded, size))
 
     def checkGradShape(self, shape):
         if len(shape) != 4:
             raise ModuleError("Grad must be 4d tensor")
-
-    def updateData(self, data):
-        raise NotImplementedError()
-
-    def updateGrad(self, grad):
-        raise NotImplementedError()
 
     def reset(self):
         super().reset()

@@ -1,4 +1,8 @@
-"""Reference: /root/reference/Modules/PRelu.py."""
+"""Parametric ReLU.
+
+API parity target: /root/reference/Modules/PRelu.py — per-map (or shared)
+learnable negative slopes, initialized to 0.25.
+"""
 
 import numpy as np
 
@@ -9,54 +13,53 @@ from puzzlelib_tpu.backend.kernels.prelu import prelu, preluBackwardData, preluB
 from puzzlelib_tpu.variable import Variable
 from puzzlelib_tpu.modules.module import ModuleError, Module
 
+INIT_SLOPE = 0.25
+
 
 class PRelu(Module):
     def __init__(self, maps, inplace=False, sharedMaps=False, name=None):
         super().__init__(name)
         self.registerBlueprint(locals())
 
-        self.sharedMaps = sharedMaps
-        self.inplace = inplace
+        self.sharedMaps, self.inplace = sharedMaps, inplace
 
         if inplace and Config.showWarnings:
             Config.getLogger().info("Warning: %s is using inplace flag", self)
 
-        shape = (1, ) if sharedMaps else (maps, )
-        slopes = gpuarray.to_gpu(np.full(shape, 0.25, dtype=np.float32))
-
+        nSlopes = 1 if sharedMaps else maps
         self.slopes = None
-        self.setVar("slopes", Variable(slopes))
+        self.setVar("slopes", Variable(gpuarray.to_gpu(np.full((nSlopes, ), INIT_SLOPE, dtype=np.float32))))
+
+    def _forbidInplaceBackward(self):
+        if self.inplace:
+            raise ModuleError("%s: using inplace flag while calculating gradient is prohibited" % self)
 
     def updateData(self, data):
         self.data = prelu(data, self.slopes, self.inplace, self.sharedMaps)
 
     def updateGrad(self, grad):
-        if self.inplace:
-            raise ModuleError("%s: using inplace flag while calculating gradient is prohibited" % self)
-
+        self._forbidInplaceBackward()
         self.grad = preluBackwardData(grad, self.slopes, self.inData, self.sharedMaps)
 
     def accGradParams(self, grad, scale=1.0, momentum=0.0):
-        if self.inplace:
-            raise ModuleError("%s: using inplace flag while calculating gradient is prohibited" % self)
+        self._forbidInplaceBackward()
 
+        acc = self.vars["slopes"].grad
         slopegrad = preluBackwardParams(self.inData, grad, self.sharedMaps)
-        Blas.addVectorToVector(
-            slopegrad, self.vars["slopes"].grad, out=self.vars["slopes"].grad, alpha=scale, beta=momentum
-        )
+        Blas.addVectorToVector(slopegrad, acc, out=acc, alpha=scale, beta=momentum)
 
     def dataShapeFrom(self, shape):
         return shape
+
+    gradShapeFrom = dataShapeFrom
 
     def checkDataShape(self, shape):
         if len(shape) < 2:
             raise ModuleError("Data tensor dimension must be at least 2")
 
-        if not self.sharedMaps and shape[1] != self.slopes.shape[0]:
-            raise ModuleError("Data tensor has %s maps (expected %s)" % (shape[1], self.slopes.shape[0]))
-
-    def gradShapeFrom(self, shape):
-        return shape
+        nSlopes = self.slopes.shape[0]
+        if not self.sharedMaps and shape[1] != nSlopes:
+            raise ModuleError("Data tensor has %s maps (expected %s)" % (shape[1], nSlopes))
 
     def checkGradShape(self, shape):
         if shape != self.inData.shape:

@@ -1,9 +1,18 @@
-"""Reference: /root/reference/Modules/Reshape.py."""
+"""Shape-changing pass-through module.
+
+API parity target: /root/reference/Modules/Reshape.py — a 0 in the target
+shape copies that axis from the input, a -1 is inferred.  Pure metadata on
+TPU: both passes are ``reshape`` on the same buffer.
+"""
 
 import numpy as np
 
 from puzzlelib_tpu import config as Config
 from puzzlelib_tpu.modules.module import ModuleError, Module
+
+
+def _volume(shape):
+    return int(np.prod(shape))
 
 
 class Reshape(Module):
@@ -12,12 +21,28 @@ class Reshape(Module):
         self.registerBlueprint(locals())
 
         self.showWarnings = showWarnings
-        self.movesData = True
-        self.movesGrad = True
+        self.movesData = self.movesGrad = True
 
         self.shape = shape
         self.inshape = None
-        self.copyIdx = tuple(idx for idx, value in enumerate(shape) if value == 0)
+
+        self.copyIdx = tuple(axis for axis, extent in enumerate(shape) if extent == 0)
+
+    def copyAxis(self, shape, mask):
+        """Substitute input extents for the 0-marked axes (-1 passes through)."""
+        return tuple(mask[axis] if axis in self.copyIdx else extent for axis, extent in enumerate(shape))
+
+    def _validate(self, inshape):
+        target = self.copyAxis(self.shape, inshape)
+        known = [extent for extent in target if extent != -1]
+
+        consistent = (_volume(inshape) % _volume(known) == 0) if -1 in target else \
+            (_volume(inshape) == _volume(target))
+
+        if not consistent:
+            raise ModuleError("Data shape %s is inconsistent with reshape %s" % (inshape, target))
+
+        return target
 
     def updateData(self, data):
         self.inshape = data.shape
@@ -32,36 +57,23 @@ class Reshape(Module):
     def updateGrad(self, grad):
         self.grad = grad.reshape(self.inshape)
 
-    def copyAxis(self, shape, mask):
-        return tuple(mask[idx] if idx in self.copyIdx else value for idx, value in enumerate(shape))
-
     def checkDataShape(self, shape):
-        modShape = self.copyAxis(self.shape, shape)
-
-        try:
-            idx = modShape.index(-1)
-        except ValueError:
-            if int(np.prod(shape)) != int(np.prod(modShape)):
-                raise ModuleError("Data shape %s is inconsistent with reshape %s" % (shape, modShape))
-            return
-
-        if int(np.prod(shape)) % int(np.prod(modShape[:idx] + modShape[idx + 1:])) != 0:
-            raise ModuleError("Data shape %s is inconsistent with reshape %s" % (shape, modShape))
+        self._validate(shape)
 
     def checkGradShape(self, shape):
-        if int(np.prod(shape)) != int(np.prod(self.inshape)):
+        if _volume(shape) != _volume(self.inshape):
             raise ModuleError("Grad shape %s is inconsistent with reshape %s" % (shape, self.inshape))
 
     def dataShapeFrom(self, shape):
-        modShape = self.copyAxis(self.shape, shape)
+        target = self.copyAxis(self.shape, shape)
 
-        try:
-            idx = self.shape.index(-1)
-            dim = int(np.prod(shape)) // int(np.prod(modShape[:idx]) * np.prod(modShape[idx + 1:]))
-            return modShape[:idx] + (dim, ) + modShape[idx + 1:]
+        if -1 not in target:
+            return target
 
-        except ValueError:
-            return modShape
+        hole = target.index(-1)
+        inferred = _volume(shape) // _volume(target[:hole] + target[hole + 1:])
+
+        return target[:hole] + (inferred, ) + target[hole + 1:]
 
     def gradShapeFrom(self, shape):
         return self.inshape

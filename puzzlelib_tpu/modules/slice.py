@@ -1,4 +1,9 @@
-"""Reference: /root/reference/Modules/Slice.py."""
+"""Subtensor extraction module.
+
+API parity target: /root/reference/Modules/Slice.py — configure with
+``Slice()[:, 1:-1]`` syntax; backward scatters the gradient into a zero tensor
+of the input shape.
+"""
 
 import numpy as np
 
@@ -16,35 +21,32 @@ class Slice(Module):
         self.inshape = None
 
     def __getitem__(self, slc):
-        if not isinstance(slc, tuple):
-            slc = (slc, )
-
-        self.slc = slc
+        self.slc = slc if isinstance(slc, tuple) else (slc, )
         return self
+
+    def _requireSlice(self):
+        if self.slc is None:
+            raise ModuleError("Slice parameter is not initialized")
 
     def updateData(self, data):
         self.inshape = data.shape
         self.data = data[self.slc].copy(allocator=memPool)
 
     def updateGrad(self, grad):
-        self.grad = gpuarray.zeros(self.inshape, dtype=np.float32, allocator=memPool)
-        self.grad[self.slc] = grad
+        full = gpuarray.zeros(self.inshape, dtype=np.float32, allocator=memPool)
+        full[self.slc] = grad
+        self.grad = full
 
     def dataShapeFrom(self, shape):
-        if self.slc is None:
-            raise ModuleError("Slice parameter is not initialized")
+        self._requireSlice()
 
-        outshape = [None] * len(shape)
-        for i, dim in enumerate(shape):
-            slc = self.slc[i] if i < len(self.slc) else slice(None)
-            start, stop, step = slc.indices(dim)
-            outshape[i] = (stop - start + step - 1) // step
+        # unspecified trailing axes pass through whole
+        window = self.slc + (slice(None), ) * (len(shape) - len(self.slc))
 
-        return tuple(outshape)
+        return tuple(len(range(*slc.indices(extent))) for slc, extent in zip(window, shape))
 
     def checkDataShape(self, shape):
-        if self.slc is None:
-            raise ModuleError("Slice parameter is not initialized")
+        self._requireSlice()
 
         if len(shape) < len(self.slc):
             raise ModuleError("Expected at least %d data dimensions, %d were given" % (len(self.slc), len(shape)))

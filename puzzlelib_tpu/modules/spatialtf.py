@@ -1,4 +1,10 @@
-"""Reference: /root/reference/Modules/SpatialTf.py."""
+"""Spatial transformer (affine grid sample).
+
+API parity target: /root/reference/Modules/SpatialTf.py — input is the pair
+``(data, transform)`` where transform is a batch of 2x3 affine matrices; the
+backward pass returns gradients for both, using the sampling grid cached from
+the forward pass (cuDNN keeps the same grid; here it is a jnp tensor).
+"""
 
 from puzzlelib_tpu.backend.dnn import spatialTf, spatialTfBackward
 from puzzlelib_tpu.modules.module import ModuleError, Module
@@ -13,27 +19,29 @@ class SpatialTf(Module):
         self.grid = None
 
     def updateData(self, data):
-        data, transform = data
+        images, transform = data
+        needGrid = self.train  # backward re-samples through the saved grid
 
-        if self.train:
-            self.data, self.grid = spatialTf(data, transform, outshape=self.shape, getGrid=True)
+        result = spatialTf(images, transform, outshape=self.shape, getGrid=needGrid)
+        if needGrid:
+            self.data, self.grid = result
         else:
-            self.data = spatialTf(data, transform, outshape=self.shape, getGrid=False)
+            self.data = result
 
     def updateGrad(self, grad):
-        data, _ = self.inData
-        self.grad = spatialTfBackward(grad, data, self.grid)
+        images = self.inData[0]
+        self.grad = spatialTfBackward(grad, images, self.grid)
 
     def checkDataShape(self, shapes):
         dshape, tshape = shapes
 
-        if len(tshape) != 3 or tshape[1:] != (2, 3):
+        if tshape[1:] != (2, 3) or len(tshape) != 3:
             raise ModuleError("Bad transform shape (%s was given)" % (tshape, ))
 
         if len(dshape) != 4:
             raise ModuleError("Data must be 4d tensor")
 
-        if tshape[0] != dshape[0]:
+        if dshape[0] != tshape[0]:
             raise ModuleError("Inconsistency in transform and data batch size (%d in transform vs %d in data)" %
                               (tshape[0], dshape[0]))
 
@@ -41,19 +49,19 @@ class SpatialTf(Module):
         if len(shape) != 4:
             raise ModuleError("Grad must be 4d tensor")
 
-        if self.shape is not None:
-            if self.shape != shape[1:]:
-                raise ModuleError("Bad grad shape (was given %s, expected %s)" % (shape[1:], self.shape))
-        else:
-            if self.inData[0].shape != shape:
-                raise ModuleError("Bad grad shape (was given %s, expected %s)" % (shape, self.inData[0].shape))
+        expected = self.shape if self.shape is not None else self.inData[0].shape
+        given = shape[1:] if self.shape is not None else shape
+
+        if given != expected:
+            raise ModuleError("Bad grad shape (was given %s, expected %s)" % (given, expected))
 
     def dataShapeFrom(self, shapes):
-        dshape, tshape = shapes
-        return (dshape[0], ) + self.shape if self.shape is not None else dshape
+        dshape = shapes[0]
+        return dshape if self.shape is None else (dshape[0], ) + self.shape
 
     def gradShapeFrom(self, shape):
-        return (shape[0], ) + self.inData[0].shape[1:], (shape[0], 2, 3)
+        batch = shape[0]
+        return (batch, ) + self.inData[0].shape[1:], (batch, 2, 3)
 
     def reset(self):
         super().reset()

@@ -1,7 +1,39 @@
-"""Reference: /root/reference/Modules/ToList.py."""
+"""Nested-input flattening module.
+
+API parity target: /root/reference/Modules/ToList.py — forward flattens an
+arbitrarily nested list of tensors into one flat list; backward re-nests the
+flat gradient list to mirror the input structure.  Implemented over a pair of
+generic tree utilities instead of the reference's four hand-rolled recursions.
+"""
 
 from puzzlelib_tpu.backend import gpuarray
 from puzzlelib_tpu.modules.module import ModuleError, Module
+
+
+def _leaves(tree, isLeaf):
+    """Depth-first leaf iterator over a nested list structure."""
+    if isLeaf(tree):
+        yield tree
+    else:
+        for branch in tree:
+            yield from _leaves(branch, isLeaf)
+
+
+def _renest(template, flat, isLeaf):
+    """Rebuild ``template``'s nesting from the flat sequence ``flat``."""
+    cursor = iter(flat)
+
+    def build(node):
+        if isLeaf(node):
+            return next(cursor)
+
+        return [build(branch) for branch in node]
+
+    return build(template)
+
+
+def _isTensor(obj):
+    return isinstance(obj, gpuarray.GPUArray)
 
 
 class ToList(Module):
@@ -11,68 +43,20 @@ class ToList(Module):
         self.movesGrad = True
 
     def updateData(self, data):
-        self.data = []
-        self.extendDataList(self.data, data)
-
-    def extendDataList(self, lst, data):
-        if isinstance(data, gpuarray.GPUArray):
-            lst.append(data)
-        else:
-            for dat in data:
-                self.extendDataList(lst, dat)
+        self.data = list(_leaves(data, _isTensor))
 
     def updateGrad(self, grad):
-        self.grad, _ = self.buildGradList(grad, self.inData, 0)
-
-    def buildGradList(self, grad, data, i):
-        if isinstance(data, gpuarray.GPUArray):
-            return grad[i], i + 1
-
-        lst = []
-        for dat in data:
-            inlst, i = self.buildGradList(grad, dat, i)
-            lst.append(inlst)
-
-        return lst, i
+        self.grad = _renest(self.inData, grad, _isTensor)
 
     def dataShapeFrom(self, shapes):
-        lst = []
-        self.extendDataShapeList(lst, shapes)
-        return lst
-
-    def extendDataShapeList(self, lst, shapes):
-        if isinstance(shapes, tuple):
-            lst.append(shapes)
-        else:
-            for shape in shapes:
-                self.extendDataShapeList(lst, shape)
+        # a leaf here is a shape tuple, not a tensor
+        return list(_leaves(shapes, lambda node: isinstance(node, tuple)))
 
     def gradShapeFrom(self, shapes):
-        inshapes, _ = self.buildGradShapeList(shapes, self.inData, 0)
-        return inshapes
-
-    def buildGradShapeList(self, shapes, data, i):
-        if isinstance(data, gpuarray.GPUArray):
-            return shapes[i], i + 1
-
-        lst = []
-        for dat in data:
-            inlst, i = self.buildGradShapeList(shapes, dat, i)
-            lst.append(inlst)
-
-        return lst, i
+        return _renest(self.inData, shapes, _isTensor)
 
     def checkGradShape(self, shapes):
-        self.checkGradList(shapes, self.inData, 0)
-
-    def checkGradList(self, shapes, data, i):
-        if isinstance(data, gpuarray.GPUArray):
-            if data.shape != shapes[i]:
+        for i, leaf in enumerate(_leaves(self.inData, _isTensor)):
+            if leaf.shape != shapes[i]:
                 raise ModuleError("Inconsistency in data and corresponding grad shapes at index %s "
-                                  "(expected %s, given %s)" % (i, data.shape, shapes[i]))
-            return i + 1
-
-        for dat in data:
-            i = self.checkGradList(shapes, dat, i)
-
-        return i
+                                  "(expected %s, given %s)" % (i, leaf.shape, shapes[i]))

@@ -1,10 +1,17 @@
 """N-dimensional convolution / deconvolution in NCHW layout.
 
 Replaces the cuDNN binding (/root/reference/Cuda/Source/Libs/CuDnn.c:1155-1220)
-with ``lax.conv_general_dilated``: XLA lowers these onto the MXU directly, and
-the explicit backward functions are expressed as VJPs of the forward so XLA can
-DCE unused residual computation (conv-bwd-data never touches activations,
-conv-bwd-filter never touches the filter).
+with ``lax.conv_general_dilated``.  The backward passes are written as explicit
+convolutions rather than ``jax.vjp`` of the forward:
+
+- bwd-filter is an im2col contraction (patches x grad -> one big MXU matmul);
+- bwd-data is the direct transposed conv (input-dilated conv with the
+  spatially-reversed, IO-swapped kernel).
+
+Both avoid XLA's conv-transpose rewrites (batch_group_count and friends),
+which the axon remote compiler handles pathologically slowly for some shapes
+(single-channel bwd-filter was observed to hang for minutes), and they map
+exactly onto the implicit-GEMM structure the Pallas kernels use.
 
 Algo selection (``ConvFwdAlgo`` etc.) is retained as an API-level no-op: XLA
 owns scheduling, and `optimizeForShape` maps to ahead-of-time compilation.
@@ -12,6 +19,7 @@ owns scheduling, and `optimizeForShape` maps to ahead-of-time compilation.
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -45,36 +53,44 @@ def convNd(x, w, b, stride, pad, dilation, groups, hasBias=False):
     return out
 
 
-def _convCoreF32(x, w, stride, pad, dilation, groups):
-    """f32 conv core for VJP-based paths.
+# -- bwd-filter: im2col patches x grad, one dot_general on the MXU -------------
 
-    The transpose rule of ``conv_general_dilated`` requires the cotangent and
-    the carried operand to share a dtype; with ``preferred_element_type=f32``
-    and fp16/bf16 params the cotangent is f32 while ``w`` is half — so the
-    backward paths run through this all-f32 core and cast at the boundary.
-    """
-    nd = x.ndim - 2
-    return lax.conv_general_dilated(
-        x.astype(jnp.float32), w.astype(jnp.float32),
-        window_strides=stride,
-        padding=[(p, p) for p in pad],
-        rhs_dilation=dilation,
-        dimension_numbers=_dimNumbers(nd),
-        feature_group_count=groups,
+def _filterGrad(x, grad, size, stride, pad, dilation, groups):
+    """dW (outmaps, inmaps//groups, *size) of the forward conv, computed as a
+    patches-matrix contraction in f32."""
+    x32, g32 = x.astype(jnp.float32), grad.astype(jnp.float32)
+    inmaps, outmaps = x.shape[1], grad.shape[1]
+
+    # (N, C * prod(size), *outspatial), feature dim ordered (C, *size)
+    patches = lax.conv_general_dilated_patches(
+        x32, size, stride, [(p, p) for p in pad], rhs_dilation=dilation,
     )
 
+    n = x.shape[0]
+    kk = int(np.prod(size))
+    spatial = int(np.prod(patches.shape[2:]))
 
-@partial(jax.jit, static_argnames=("xshape", "stride", "pad", "dilation", "groups"))
-def convNdBackwardData(grad, w, xshape, stride, pad, dilation, groups):
-    x0 = jnp.zeros(xshape, jnp.float32)
-    _, vjp = jax.vjp(lambda xx: _convCoreF32(xx, w, stride, pad, dilation, groups), x0)
-    return vjp(grad.astype(jnp.float32))[0].astype(grad.dtype)
+    pm = patches.reshape(n, inmaps, kk, spatial)
+    gm = g32.reshape(n, outmaps, spatial)
+
+    if groups == 1:
+        dw = jnp.einsum("nos,ncks->ock", gm, pm)
+        return dw.reshape((outmaps, inmaps) + size)
+
+    cpg, opg = inmaps // groups, outmaps // groups
+    parts = []
+    for g in range(groups):
+        gSlice = gm[:, g * opg:(g + 1) * opg]
+        pSlice = pm[:, g * cpg:(g + 1) * cpg]
+        parts.append(jnp.einsum("nos,ncks->ock", gSlice, pSlice))
+
+    return jnp.concatenate(parts, axis=0).reshape((outmaps, cpg) + size)
 
 
 @partial(jax.jit, static_argnames=("stride", "pad", "dilation", "groups", "hasBias"))
 def convNdBackwardParams(x, grad, wshape_w, stride, pad, dilation, groups, hasBias=False):
-    _, vjp = jax.vjp(lambda ww: _convCoreF32(x, ww, stride, pad, dilation, groups), wshape_w)
-    dw = vjp(grad.astype(jnp.float32))[0]
+    size = wshape_w.shape[2:]
+    dw = _filterGrad(x, grad, size, stride, pad, dilation, groups).astype(wshape_w.dtype)
 
     db = None
     if hasBias:
@@ -84,31 +100,74 @@ def convNdBackwardParams(x, grad, wshape_w, stride, pad, dilation, groups, hasBi
     return dw, db
 
 
-# -- deconvolution (transposed conv, cuDNN-style: fwd == conv bwd-data) ------
+# -- bwd-data: direct transposed conv ------------------------------------------
 
-def _deconvCore(x, w, stride, pad, dilation, postpad, groups):
-    """Transposed conv: x (N, inmaps, ...), w (inmaps, outmaps//groups, ...).
-
-    cuDNN deconvolution == conv-backward-data of x through w, i.e. the VJP of
-    the forward conv that maps (N, outmaps, outspatial) -> (N, inmaps, inspatial);
-    out spatial = stride*(in-1) + dilation*(size-1) + 1 - 2*pad + postpad.
-    """
-    nd = x.ndim - 2
+def _transposedConv(y, w, stride, pad, dilation, adj, groups):
+    """Map y (N, outmaps, *yspatial) back through forward-conv kernel
+    w (outmaps, inmaps//groups, *size): input-dilate y by stride and convolve
+    with the spatially-flipped, IO-swapped kernel.  ``adj`` is the extra high
+    padding per axis recovering sizes lost to stride flooring."""
+    nd = y.ndim - 2
     size = w.shape[2:]
 
-    outspatial = tuple(
-        stride[i] * (x.shape[2 + i] - 1) + dilation[i] * (size[i] - 1) + 1 - 2 * pad[i] + postpad[i]
+    spatialAxes = tuple(range(2, 2 + nd))
+    wT = jnp.flip(w, spatialAxes).swapaxes(0, 1)  # (inmaps//groups, outmaps, *size)
+
+    padding = tuple(
+        (dilation[i] * (size[i] - 1) - pad[i],
+         dilation[i] * (size[i] - 1) - pad[i] + adj[i])
         for i in range(nd)
     )
 
-    y0 = jnp.zeros((x.shape[0], w.shape[1] * groups) + outspatial, jnp.float32)
-    _, vjp = jax.vjp(lambda yy: _convCoreF32(yy, w, stride, pad, dilation, groups), y0)
-    return vjp(x.astype(jnp.float32))[0].astype(x.dtype)
+    outmaps = y.shape[1]
+    opg = outmaps // groups
 
+    def oneGroup(yg, wg):
+        return lax.conv_general_dilated(
+            yg.astype(jnp.float32), wg.astype(jnp.float32),
+            window_strides=(1, ) * nd,
+            padding=padding,
+            lhs_dilation=stride,
+            rhs_dilation=dilation,
+            dimension_numbers=_dimNumbers(nd),
+        )
+
+    if groups == 1:
+        # kernel laid out (I, O, *size) -> swap to OIHW-style (I plays O)
+        return oneGroup(y, wT).astype(y.dtype)
+
+    parts = [
+        oneGroup(y[:, g * opg:(g + 1) * opg], wT[:, g * opg:(g + 1) * opg])
+        for g in range(groups)
+    ]
+    return jnp.concatenate(parts, axis=1).astype(y.dtype)
+
+
+def _strideAdjust(inspatial, size, stride, pad, dilation):
+    """Per-axis remainder lost by the forward conv's stride flooring."""
+    return tuple(
+        inspatial[i] + 2 * pad[i] - (dilation[i] * (size[i] - 1) + 1)
+        - stride[i] * ((inspatial[i] + 2 * pad[i] - dilation[i] * (size[i] - 1) - 1) // stride[i])
+        for i in range(len(size))
+    )
+
+
+@partial(jax.jit, static_argnames=("xshape", "stride", "pad", "dilation", "groups"))
+def convNdBackwardData(grad, w, xshape, stride, pad, dilation, groups):
+    size = w.shape[2:]
+    adj = _strideAdjust(xshape[2:], size, stride, pad, dilation)
+
+    return _transposedConv(grad, w, stride, pad, dilation, adj, groups).astype(grad.dtype)
+
+
+# -- deconvolution (transposed conv, cuDNN-style: fwd == conv bwd-data) ---------
 
 @partial(jax.jit, static_argnames=("stride", "pad", "dilation", "postpad", "groups", "hasBias"))
 def deconvNd(x, w, b, stride, pad, dilation, postpad, groups, hasBias=False):
-    out = _deconvCore(x, w, stride, pad, dilation, postpad, groups)
+    # deconv kernel is (inmaps, outmaps//groups, *size): exactly the forward-
+    # conv kernel of the reverse direction, so fwd == transposed conv with
+    # postpad as the stride adjustment
+    out = _transposedConv(x, w, stride, pad, dilation, postpad, groups).astype(x.dtype)
 
     if hasBias:
         out = out + b.reshape((1, b.size) + (1, ) * (x.ndim - 2)).astype(out.dtype)
@@ -125,8 +184,10 @@ def deconvNdBackwardData(grad, w, stride, pad, dilation, groups):
 
 @partial(jax.jit, static_argnames=("stride", "pad", "dilation", "postpad", "groups", "hasBias"))
 def deconvNdBackwardParams(x, grad, w, stride, pad, dilation, postpad, groups, hasBias=False):
-    _, vjp = jax.vjp(lambda ww: _deconvCore(x, ww, stride, pad, dilation, postpad, groups), w)
-    dw = vjp(grad)[0]
+    # deconv is the conv that maps grad-space -> x-space, so its filter
+    # gradient is the forward-conv filter gradient with the roles swapped
+    size = w.shape[2:]
+    dw = _filterGrad(grad, x, size, stride, pad, dilation, groups).astype(w.dtype)
 
     db = None
     if hasBias:

@@ -151,12 +151,77 @@ def ctcLoss(data, datalen, labels, lengths, blank, normalized=False):
 
 
 def hostCTCLoss(data, datalen, labels, lengths, blank):
-    """Numpy oracle mirroring the reference host implementation's outputs."""
+    """Independent pure-numpy CTC oracle (per-sample log-space
+    forward/backward in float64) — shares no code with the jitted ``ctcLoss``
+    above, so it can serve as its correctness reference.
+
+    Returns (sum of per-sample NLL, dNLL/dlogits with zeros past datalen,
+    None) — the reference's ``hostCTCLoss`` output contract
+    (/root/reference/Cuda/Kernels/CTC.py:328)."""
     from puzzlelib_tpu.tensor import GPUArray
 
     toNp = lambda a: a.get() if isinstance(a, GPUArray) else np.asarray(a)
 
-    err, grad = ctcLoss(
-        jnp.asarray(toNp(data)), toNp(datalen), toNp(labels), toNp(lengths), blank
-    )
-    return np.asarray(err), -np.asarray(grad), None
+    x = toNp(data).astype(np.float64)
+    datalen, labels, lengths = toNp(datalen), toNp(labels), toNp(lengths)
+
+    ex = np.exp(x - x.max(axis=2, keepdims=True))
+    p = ex / ex.sum(axis=2, keepdims=True)                     # (T, B, V)
+
+    T, B, V = p.shape
+    NEG = -np.inf
+
+    grad = np.zeros((T, B, V), np.float32)
+    nllTotal = 0.0
+    offset = 0
+
+    for b in range(B):
+        L, Tb = int(lengths[b]), int(datalen[b])
+
+        ext = np.full(2 * L + 1, blank, np.int64)
+        ext[1::2] = labels[offset:offset + L]
+        offset += L
+
+        S = ext.size
+        lp = np.log(np.maximum(p[:Tb, b], 1e-300))[:, ext]     # (Tb, S)
+
+        # skip-transition masks: a non-blank may skip the preceding blank
+        # unless it repeats the previous label
+        skipIn = np.zeros(S, bool)
+        skipIn[2:] = (ext[2:] != blank) & (ext[2:] != ext[:-2])
+
+        skipOut = np.zeros(S, bool)
+        skipOut[:-2] = skipIn[2:]
+
+        alpha = np.full((Tb, S), NEG)
+        alpha[0, :min(2, S)] = lp[0, :min(2, S)]
+
+        for t in range(1, Tb):
+            prev = alpha[t - 1]
+            reach = np.logaddexp(prev, np.concatenate(([NEG], prev[:-1])))
+            skip = np.concatenate(([NEG, NEG], prev[:-2]))
+            alpha[t] = np.where(skipIn, np.logaddexp(reach, skip), reach) + lp[t]
+
+        loglike = alpha[Tb - 1, S - 1] if S < 2 else np.logaddexp(alpha[Tb - 1, S - 1], alpha[Tb - 1, S - 2])
+        nll = -loglike
+        nllTotal += nll
+
+        beta = np.full((Tb, S), NEG)
+        beta[Tb - 1, max(0, S - 2):] = lp[Tb - 1, max(0, S - 2):]
+
+        for t in range(Tb - 2, -1, -1):
+            nxt = beta[t + 1]
+            reach = np.logaddexp(nxt, np.concatenate((nxt[1:], [NEG])))
+            skip = np.concatenate((nxt[2:], [NEG, NEG]))
+            beta[t] = np.where(skipOut, np.logaddexp(reach, skip), reach) + lp[t]
+
+        with np.errstate(over="ignore"):
+            gamma = np.exp(alpha + beta + nll)                 # (Tb, S)
+
+        occupancy = np.zeros((Tb, V))
+        for s in range(S):
+            occupancy[:, ext[s]] += gamma[:, s]
+
+        grad[:Tb, b] = (p[:Tb, b] - occupancy / np.maximum(p[:Tb, b], 1e-300)).astype(np.float32)
+
+    return np.float32(nllTotal), grad, None

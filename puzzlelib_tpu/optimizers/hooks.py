@@ -1,4 +1,9 @@
-"""Optimizer hooks (reference: /root/reference/Optimizers/Hooks.py)."""
+"""Optimizer hooks.
+
+API parity target: /root/reference/Optimizers/Hooks.py — callables invoked on
+each (var, state) pair right before the update kernel; weight decay folds an
+L2 penalty into the gradient with one fused elementwise op.
+"""
 
 import numpy as np
 
@@ -6,16 +11,22 @@ from puzzlelib_tpu.backend.kernels.elementwise import weightDecayKer
 
 
 class Hook:
+    __slots__ = ()
+
     def __call__(self, var, state, stream=None):
         raise NotImplementedError()
 
 
 class WeightDecay(Hook):
+    __slots__ = ("rate", )
+
     def __init__(self, rate):
         self.rate = rate
 
     def __call__(self, var, state, stream=None):
-        assert var.grad.dtype == np.float32
+        if var.grad.dtype != np.float32:
+            raise AssertionError("weight decay expects fp32 grads, got %s" % var.grad.dtype)
 
-        if var.wc > 0.0:
-            weightDecayKer(var.grad, var.data, self.rate * var.wc, stream=stream)
+        decay = self.rate * var.wc
+        if decay > 0.0:
+            weightDecayKer(var.grad, var.data, decay, stream=stream)

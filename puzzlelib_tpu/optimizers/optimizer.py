@@ -1,9 +1,11 @@
-"""Optimizer base (reference: /root/reference/Optimizers/Optimizer.py).
+"""Optimizer base.
 
-Global-state mode repacks every parameter/gradient of a dtype into one fused
-``SharedArray`` buffer; module variables become write-through views of it, so
-the whole update (and, under data parallelism, the gradient all-reduce) is a
-single fused operation over one flat array.
+API parity target: /root/reference/Optimizers/Optimizer.py.  Global-state mode
+repacks every parameter/gradient of a dtype into one fused ``SharedArray``
+buffer; module variables become write-through views of it, so the whole update
+(and, under data parallelism, the gradient all-reduce) is a single fused
+operation over one flat array — on TPU that flat pair is exactly what the
+traced train step carries as donated state.
 """
 
 from collections import OrderedDict
@@ -35,6 +37,8 @@ class Optimizer:
         self.customVars = []
         self.nodeinfo = nodeinfo
 
+    # -- hyper-parameter registry ----------------------------------------------
+
     def setAttr(self, name, attr):
         setattr(self, name, attr)
         self.attrs.add(name)
@@ -48,6 +52,8 @@ class Optimizer:
 
         self.hooks.append(hook)
 
+    # -- setup -------------------------------------------------------------------
+
     def setupOn(self, mod, useGlobalState=False):
         if self.nodeinfo is not None:
             assert useGlobalState
@@ -55,56 +61,62 @@ class Optimizer:
         self.module = mod
         vartable = self.module.getVarTable()
 
+        self.globalState = useGlobalState
         if useGlobalState:
-            self.globalState = True
             self.setupGlobalState(vartable)
         else:
             self.setupLocalStates(vartable)
 
         if self.nodeinfo is not None:
-            assert len(self.customVars) == 0
+            assert not self.customVars
+
+    def _partitionVars(self, vartable):
+        """Split the var table into (framework-managed, custom-updater) lists,
+        deterministically ordered by each variable's first link name."""
+        managed = []
+
+        for var, names in sorted(vartable.items(), key=lambda item: item[1][0]):
+            if var.hasUpdater:
+                self.customVars.append(names[0])
+            else:
+                managed.append((names[0], names, var))
+
+        return managed
 
     def setupGlobalState(self, vartable):
-        variables = [(names, var) for var, names in vartable.items()]
-        variables = sorted(variables, key=lambda elem: elem[0][0])
+        managed = self._partitionVars(vartable)
 
-        for names, var in variables:
-            if var.hasUpdater:
-                assert self.nodeinfo is None
+        if self.customVars:
+            assert self.nodeinfo is None
 
-                self.customVars.append(names[0])
-                continue
-
+        # phase 1: lay out one flat (param, grad) buffer pair per dtype
+        for lead, _, var in managed:
             dtype = var.data.dtype.type
 
-            shParams = self.shParams.get(dtype, gpuarray.SharedArray(dtype))
-            shGrads = self.shGrads.get(dtype, gpuarray.SharedArray(dtype))
+            packer = self.shParams.setdefault(dtype, gpuarray.SharedArray(dtype))
+            packer.register(var.data.shape, dtype, lead)
 
-            shParams.register(var.data.shape, var.data.dtype.type, names[0])
-            shGrads.register(var.grad.shape, var.grad.dtype.type, names[0])
+            gradPacker = self.shGrads.setdefault(dtype, gpuarray.SharedArray(dtype))
+            gradPacker.register(var.grad.shape, dtype, lead)
 
-            self.shParams[dtype] = shParams
-            self.shGrads[dtype] = shGrads
+        for dtype in self.shParams:
+            self.shParams[dtype].build()
+            self.shGrads[dtype].build()
 
-        for shParams, shGrads in zip(self.shParams.values(), self.shGrads.values()):
-            shParams.build()
-            shGrads.build()
+            self.globalVar[dtype] = Variable(self.shParams[dtype].ary, grad=self.shGrads[dtype].ary)
 
-            self.globalVar[shParams.dtype.type] = Variable(shParams.ary, grad=shGrads.ary)
-
-        for names, var in variables:
-            if var.hasUpdater:
-                continue
-
+        # phase 2: copy values in and rebind module vars as views of the pack
+        for lead, names, var in managed:
             dtype = var.data.dtype.type
-            data, grad = self.shParams[dtype][names[0]], self.shGrads[dtype][names[0]]
+            view, gradView = self.shParams[dtype][lead], self.shGrads[dtype][lead]
 
-            data.set(var.data)
-            grad.set(var.grad)
+            view.set(var.data)
+            gradView.set(var.grad)
 
             for name in names:
-                self.module.setVar(name, Variable(data, grad=grad))
+                self.module.setVar(name, Variable(view, grad=gradView))
 
+        # phase 3: per-dtype optimizer state (+ initial param sync across nodes)
         for dtype, globalVar in self.globalVar.items():
             if self.nodeinfo is not None:
                 self.nodeinfo.broadcastBuffer("data", globalVar.data)
@@ -112,15 +124,19 @@ class Optimizer:
             self.states[dtype] = self.setupState(globalVar)
 
     def setupLocalStates(self, vartable):
-        for var, names in vartable.items():
-            if var.hasUpdater:
-                self.customVars.append(names[0])
-                continue
+        for lead, _, var in self._partitionVars(vartable):
+            self.states[lead] = self.setupState(var)
 
-            self.states[names[0]] = self.setupState(var)
+    def setupState(self, var):
+        return {}
+
+    # -- gradient clearing ------------------------------------------------------------
 
     def zeroGradParams(self):
-        self.zeroGradGlobalParams() if self.globalState else self.zeroGradLocalParams()
+        if self.globalState:
+            self.zeroGradGlobalParams()
+        else:
+            self.zeroGradLocalParams()
 
     def zeroGradGlobalParams(self):
         for globalVar in self.globalVar.values():
@@ -130,13 +146,10 @@ class Optimizer:
         for name in self.states:
             var = self.module.getVar(name)
 
-            if var.hasUpdater:
-                continue
+            if not var.hasUpdater:
+                var.grad.fill(0)
 
-            var.grad.fill(0)
-
-    def setupState(self, var):
-        return {}
+    # -- update step --------------------------------------------------------------------
 
     def update(self, useStreams=False, sync=True):
         self.t += 1
@@ -147,8 +160,7 @@ class Optimizer:
             self.updateLocalStates(useStreams, sync)
 
         for name in self.customVars:
-            var = self.module.getVar(name)
-            var.update(self.learnRate)
+            self.module.getVar(name).update(self.learnRate)
 
     def updateGlobalState(self):
         for dtype, globalVar in self.globalVar.items():
@@ -157,6 +169,7 @@ class Optimizer:
             for hook in self.hooks:
                 hook(globalVar, state)
 
+            # fused-buffer all-reduce: one collective per dtype, not per var
             if self.nodeinfo is not None:
                 self.nodeinfo.sumTensor("grad", globalVar.grad)
 
@@ -169,8 +182,7 @@ class Optimizer:
         for i, (name, state) in enumerate(self.states.items()):
             var = self.module.getVar(name)
 
-            assert var.grad is not None
-            assert var.data.shape == var.grad.shape
+            assert var.grad is not None and var.data.shape == var.grad.shape
 
             stream = streams[i] if useStreams else None
 
@@ -190,42 +202,38 @@ class Optimizer:
     def updateVar(self, var, state, stream=None):
         raise NotImplementedError()
 
+    # -- optimizer-state persistence ---------------------------------------------------------
+
     def save(self, hdf, name=None):
         hdf = self.ensureHdf(hdf, "w")
-        name = "" if name is None else name
+        prefix = name or ""
 
-        if len(self.attrs) > 0:
-            attrGrp = hdf.create_group(name + ".attrs")
-
+        if self.attrs:
+            grp = hdf.create_group(prefix + ".attrs")
             for attrName, attr in self.getAttrDict().items():
-                attrGrp.create_dataset(attrName, data=attr)
+                grp.create_dataset(attrName, data=attr)
 
-        if len(self.states) > 0:
-            stateGrp = hdf.create_group(name + ".states")
-
+        if self.states:
+            grp = hdf.create_group(prefix + ".states")
             for stateName, state in self.states.items():
                 for entityName, entity in state.items():
-                    stateGrp.create_dataset("%s.%s" % (stateName, entityName), data=entity.get())
+                    grp.create_dataset("%s.%s" % (stateName, entityName), data=entity.get())
 
     def load(self, hdf, name=None):
         hdf = self.ensureHdf(hdf, "r")
-        name = "" if name is None else name
+        prefix = name or ""
 
-        attrGrpName = name + ".attrs"
+        grpName = prefix + ".attrs"
+        if grpName in hdf:
+            for attrName, attr in hdf[grpName].items():
+                kind = type(getattr(self, attrName))
+                self.setAttr(attrName, kind(np.array(attr)))
 
-        if attrGrpName in hdf:
-            attrGrp = hdf[attrGrpName]
-
-            for attrName, attr in attrGrp.items():
-                T = type(getattr(self, attrName))
-                self.setAttr(attrName, T(np.array(attr)))
-
-        if len(self.states) > 0:
-            stateGrp = hdf[name + ".states"]
-
+        if self.states:
+            grp = hdf[prefix + ".states"]
             for stateName, state in self.states.items():
                 for entityName, entity in state.items():
-                    entity.set(np.array(stateGrp["%s.%s" % (stateName, entityName)]))
+                    entity.set(np.array(grp["%s.%s" % (stateName, entityName)]))
 
     @staticmethod
     def ensureHdf(file, mode):

@@ -1,12 +1,32 @@
-"""Threaded async data pipeline base (reference: /root/reference/Transformers/Provider.py).
+"""Threaded async data pipeline base.
 
-``prepareData`` launches augmentation in a thread pool while the TPU trains on
-the previous chunk; ``getData`` joins and reassembles.
+API parity target: /root/reference/Transformers/Provider.py.  ``prepareData``
+fans a chunk out over a thread pool and runs the transformer chain on each
+shard while the TPU trains on the previous chunk; ``getData`` joins and
+reassembles the shards in thread order.
 """
 
 from multiprocessing.pool import ThreadPool
 
 import numpy as np
+
+
+def _shardChunk(chunk, nshards):
+    """Split a chunk (array or tuple of parallel arrays) into nshards shards."""
+    if isinstance(chunk, (tuple, list)):
+        perArray = [np.array_split(arr, nshards) for arr in chunk]
+        return [[parts[i] for parts in perArray] for i in range(nshards)]
+
+    return np.array_split(chunk, nshards)
+
+
+def _mergeShards(shards):
+    """Concatenate transformed shards back into one chunk."""
+    if isinstance(shards[0], (tuple, list)):
+        width = len(shards[0])
+        return tuple(np.concatenate([shard[i] for shard in shards]) for i in range(width))
+
+    return np.concatenate(shards)
 
 
 class Provider:
@@ -34,73 +54,39 @@ class Provider:
     def getNextChunk(self, chunksize, **kwargs):
         raise NotImplementedError()
 
-    def prepareData(self, chunksize=20000, **kwargs):
-        result = self.getNextChunk(chunksize, **kwargs)
-
-        if len(self.transformers) == 0:
-            self.data = result
-            return
-
-        isMulti = isinstance(result, (tuple, list))
-
-        if result is not None:
-            size = result[0].shape[0] if isMulti else result.shape[0]
-            batchsize = size // self.numofthreads
-
-            batches = []
-            for i in range(self.numofthreads):
-                begin = i * batchsize
-                end = begin + batchsize if i < self.numofthreads - 1 else size
-
-                if isMulti:
-                    batches.append([res[begin:end] for res in result])
-                else:
-                    batches.append(result[begin:end])
-
-            args = [(self.transformers, batch, i) for i, batch in enumerate(batches)]
-        else:
-            args = [(self.transformers, None, i) for i in range(self.numofthreads)]
-
-        self.poolresults = self.pool.starmap_async(self.worker, args)
-
-    def getData(self):
-        if self.poolresults is not None:
-            self.poolresults.wait()
-
-            results = [None] * self.numofthreads
-            for result, threadidx in self.poolresults.get():
-                results[threadidx] = result
-
-            self.poolresults = None
-
-            if isinstance(results[0], (tuple, list)):
-                length = sum(res[0].shape[0] for res in results)
-
-                self.data = tuple(
-                    np.empty((length, ) + results[0][i].shape[1:], dtype=results[0][i].dtype)
-                    for i in range(len(results[0]))
-                )
-
-                idx = 0
-                for res in results:
-                    for i, dat in enumerate(res):
-                        self.data[i][idx:idx + dat.shape[0]] = dat
-                    idx += res[0].shape[0]
-
-            else:
-                length = sum(res.shape[0] for res in results)
-                self.data = np.empty((length, ) + results[0].shape[1:], dtype=np.float32)
-
-                idx = 0
-                for res in results:
-                    self.data[idx:idx + res.shape[0]] = res
-                    idx += res.shape[0]
-
-        return self.data
-
     @staticmethod
     def worker(transformers, batch, threadidx):
         for transformer in transformers:
             batch = transformer(batch, threadidx)
 
         return batch, threadidx
+
+    def prepareData(self, chunksize=20000, **kwargs):
+        chunk = self.getNextChunk(chunksize, **kwargs)
+
+        if not self.transformers:
+            self.data = chunk
+            return
+
+        if chunk is None:
+            shards = [None] * self.numofthreads
+        else:
+            shards = _shardChunk(chunk, self.numofthreads)
+
+        jobs = [(self.transformers, shard, idx) for idx, shard in enumerate(shards)]
+        self.poolresults = self.pool.starmap_async(self.worker, jobs)
+
+    def getData(self):
+        if self.poolresults is None:
+            return self.data
+
+        self.poolresults.wait()
+
+        ordered = [None] * self.numofthreads
+        for shard, threadidx in self.poolresults.get():
+            ordered[threadidx] = shard
+
+        self.poolresults = None
+        self.data = _mergeShards(ordered)
+
+        return self.data

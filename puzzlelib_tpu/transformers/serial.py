@@ -1,51 +1,48 @@
-"""Single-dataset circular chunk provider (reference: /root/reference/Transformers/Serial.py)."""
+"""Single-dataset circular chunk provider.
+
+API parity target: /root/reference/Transformers/Serial.py — walks the dataset
+in fixed-size chunks, wrapping around at the end so epochs stream seamlessly.
+"""
 
 import numpy as np
 
 from puzzlelib_tpu.transformers.provider import Provider
 
 
+def _wrapRead(source, begin, count, total):
+    """Read ``count`` rows starting at ``begin``, wrapping past ``total``."""
+    head = min(count, total - begin)
+    out = np.empty((count, ) + source.shape[1:], dtype=source.dtype)
+
+    out[:head] = source[begin:begin + head]
+    if head < count:
+        out[head:] = source[:count - head]
+
+    return out
+
+
 class Serial(Provider):
     def __init__(self, dataset, labels=None, numofthreads=4):
         super().__init__(numofthreads)
 
+        self.dataset, self.labels = dataset, labels
         self.datalen = dataset.shape[0]
-        self.labels = labels
-        self.dataset = dataset
         self.index = 0
 
     def getNextChunk(self, chunksize, **kwargs):
         if chunksize >= self.datalen:
+            # chunk covers everything: hand out the whole dataset
             self.index = 0
+            whole = np.array(self.dataset)
 
-            if self.labels is not None:
-                return np.array(self.dataset), np.array(self.labels)
-
-            return np.array(self.dataset)
+            return whole if self.labels is None else (whole, np.array(self.labels))
 
         begin = self.index
-        end = self.index + chunksize
+        self.index = (begin + chunksize) % self.datalen if begin + chunksize > self.datalen \
+            else begin + chunksize
 
-        if end > self.datalen:
-            chunk = np.empty((chunksize, ) + self.dataset.shape[1:], dtype=self.dataset.dtype)
-            chunk[:self.datalen - begin] = self.dataset[begin:self.datalen]
-
-            self.index = end - self.datalen
-            chunk[self.datalen - begin:] = self.dataset[:self.index]
-
-            if self.labels is not None:
-                labels = np.empty((chunksize, ), dtype=self.labels.dtype)
-                labels[:self.datalen - begin] = self.labels[begin:self.datalen]
-                labels[self.datalen - begin:] = self.labels[:self.index]
-
-                return chunk, labels
-
+        chunk = _wrapRead(self.dataset, begin, chunksize, self.datalen)
+        if self.labels is None:
             return chunk
 
-        self.index = end
-        chunk = np.array(self.dataset[begin:end])
-
-        if self.labels is not None:
-            return chunk, np.array(self.labels[begin:end])
-
-        return chunk
+        return chunk, _wrapRead(self.labels, begin, chunksize, self.datalen)

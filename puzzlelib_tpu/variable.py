@@ -1,53 +1,67 @@
-"""Trainable parameter wrapper (reference: /root/reference/Variable.py)."""
+"""Trainable parameter wrapper.
+
+API parity target: /root/reference/Variable.py (``.data``/``.grad`` pair with
+per-variable learning-rate / momentum / weight-decay multipliers and optional
+custom updaters).  TPU note: ``.grad`` is a GPUArray whose buffer is rebound
+functionally by the fused step — allocation here is lazy with respect to eval
+mode so inference graphs never materialise gradient storage.
+"""
+
+import itertools
 
 from puzzlelib_tpu import config as Config
 from puzzlelib_tpu.backend import gpuarray
 
 
+_anonymous = itertools.count()
+
+
 class Variable:
+    # kept for reference-API compatibility: mirrors the auto-name counter
     index = 0
 
     def __init__(self, data, name=None, withgrad=True, grad=None, updater=None, postUpdater=None):
         if name is None:
-            self.name = str(type(self).index)
-            type(self).index += 1
-        else:
-            self.name = name
+            name = str(next(_anonymous))
+            Variable.index += 1
 
-        self.data = data
-        self.updater = updater
+        self.name, self.data, self.updater = name, data, updater
 
+        # a variable with a custom updater owns no framework-managed state:
+        # the updater callable is the whole update policy
         if updater is not None:
             return
 
         self.postUpdater = postUpdater
-        self.grad = None
+        self.grad = self._allocGrad(withgrad) if grad is None else grad
 
-        if grad is not None:
-            self.grad = grad
+        # per-variable multipliers applied on top of the optimizer's globals
+        self.learnRate, self.momRate, self.wc = 1.0, 1.0, 0.0
 
-        elif withgrad and not Config.globalEvalMode:
-            self.grad = gpuarray.zeros(shape=self.data.shape, dtype=self.data.dtype)
+    def _allocGrad(self, withgrad):
+        if not withgrad or Config.globalEvalMode:
+            return None
 
-        self.learnRate, self.momRate = 1.0, 1.0
-        self.wc = 0.0
+        return gpuarray.zeros(shape=self.data.shape, dtype=self.data.dtype)
 
     @property
     def hasUpdater(self):
-        return self.updater is not None
+        return callable(self.updater)
 
     @property
     def hasPostUpdater(self):
-        return self.postUpdater is not None
+        return callable(self.postUpdater)
 
     def update(self, learnRate):
-        self.updater(self, learnRate)
+        return self.updater(self, learnRate)
 
     def postUpdate(self):
-        self.postUpdater(self)
+        return self.postUpdater(self)
 
     def set(self, variable):
         self.data.set(variable.data)
 
-        if self.grad is not None:
-            self.grad.set(variable.grad)
+        if self.grad is None:
+            return
+
+        self.grad.set(variable.grad)

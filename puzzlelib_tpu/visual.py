@@ -1,4 +1,8 @@
-"""Image I/O + filter visualization (reference: /root/reference/Visual.py)."""
+"""Image I/O + filter visualization.
+
+API parity target: /root/reference/Visual.py — load images into NCHW float
+tensors, dump tensors/filters back to image files, ZCA/PCA whitening.
+"""
 
 import io
 import os
@@ -11,6 +15,9 @@ class VisualError(Exception):
     pass
 
 
+# -- loading ----------------------------------------------------------------------
+
+
 def loadImage(filename, shape=None, normalize=True, mapsToFront=True, contiguous=True):
     return imageToArray(Image.open(filename), shape, normalize, mapsToFront, contiguous)
 
@@ -20,123 +27,126 @@ def loadImageFromBytes(bytebuffer, shape=None, normalize=True, mapsToFront=True,
 
 
 def imageToArray(img, shape=None, normalize=True, mapsToFront=True, contiguous=True):
-    img = np.array(img.resize(shape, Image.LANCZOS) if shape is not None else img, dtype=np.uint8)
+    if shape is not None:
+        img = img.resize(shape, Image.LANCZOS)
 
-    if img.ndim == 3 and img.shape[-1] == 4:
-        img = img[:, :, :3]
+    pixels = np.asarray(img, dtype=np.uint8)
+
+    if pixels.ndim == 3 and pixels.shape[-1] == 4:
+        pixels = pixels[..., :3]  # drop alpha
 
     if mapsToFront:
-        img = img[np.newaxis, np.newaxis, ...] if img.ndim == 2 else np.rollaxis(img, 2)[np.newaxis, ...]
-    elif img.ndim == 2:
-        img = img[..., np.newaxis]
+        # HWC -> 1CHW (grayscale gets a singleton channel)
+        chw = pixels[np.newaxis] if pixels.ndim == 2 else np.rollaxis(pixels, 2)
+        pixels = chw[np.newaxis]
+    elif pixels.ndim == 2:
+        pixels = pixels[..., np.newaxis]
 
     if normalize:
-        img = img.astype(np.float32)
+        pixels = pixels.astype(np.float32)
+        peak = pixels.max()
 
-        if img.max() > 0.0:
-            img *= 2.0 / img.max()
+        if peak > 0.0:
+            pixels *= 2.0 / peak
 
-        img -= 1.0
+        pixels -= 1.0  # [-1, 1] range
 
-    return np.ascontiguousarray(img) if contiguous else img
-
-
-def showImage(img, filename, rollMaps=True):
-    if img.ndim == 4:
-        if img.shape[0] != 1:
-            raise VisualError("Image tensor must be exactly one image")
-        img = img[0]
-
-    normImg = img
-
-    if img.dtype == np.float32:
-        normImg = np.copy(img)
-        normalizeImageInplace(normImg)
-
-        if rollMaps and normImg.ndim == 3 and normImg.shape[0] > 1:
-            normImg = np.rollaxis(normImg, 0, 3)
-
-        normImg = imageToInt(normImg)
-
-    Image.fromarray(normImg.squeeze()).save(filename)
+    return np.ascontiguousarray(pixels) if contiguous else pixels
 
 
-def showImageBatch(batch, filebase, ext="png", rollMaps=True):
-    if batch.ndim != 4:
-        raise VisualError("Imagebatch tensor must be 4d tensor")
-
-    ext = ext.replace(".", "")
-
-    for i in range(batch.shape[0]):
-        showImage(batch[i], "%s-%d.%s" % (filebase, i + 1, ext), rollMaps)
-
-
-def showImageBatchInFolder(batch, foldername, basename, ext="png", rollMaps=True):
-    if not os.path.isdir(foldername):
-        os.mkdir(foldername)
-
-    showImageBatch(batch, os.path.join(foldername, basename), ext, rollMaps)
-
-
-def showFilters(filters, filename, offset=4, normalize=True):
-    outmaps, inmaps, fh, fw = filters.shape
-
-    showImageBasedFilters(
-        filters.reshape(outmaps * inmaps, 1, fh, fw), filename, cols=inmaps, offset=offset, normalize=normalize
-    )
-
-
-def showImageBasedFilters(filters, filename, cols=16, offset=4, normalize=True):
-    outmaps, inmaps, fh, fw = filters.shape
-
-    if fh == fw == 1:
-        print("Aborting showing 1x1 filters in file %s ..." % filename)
-        return
-
-    rows = (outmaps + cols - 1) // cols
-
-    height = rows * fh + (rows + 1) * offset
-    width = cols * fw + (cols + 1) * offset
-
-    image = np.zeros((height, width, inmaps), dtype=np.uint8)
-    hstep, wstep = offset + fh, offset + fw
-
-    for index in range(outmaps):
-        r, c = index // cols, index % cols
-
-        f = filters[index]
-        if normalize:
-            f = np.copy(f)
-            normalizeImageInplace(f)
-
-        f = np.moveaxis(imageToInt(f), 0, 2)
-        image[offset + r * hstep:offset + r * hstep + fh, offset + c * wstep:offset + c * wstep + fw] = f
-
-    Image.fromarray(image.squeeze()).save(filename)
+# -- dumping ----------------------------------------------------------------------
 
 
 def normalizeImageInplace(img):
     img -= img.min()
+    peak = img.max()
 
-    if img.max() > 0.0:
-        img /= img.max()
+    if peak > 0.0:
+        img /= peak
 
 
 def imageToInt(img):
     return (img * 255.0).astype(np.uint8)
 
 
+def showImage(img, filename, rollMaps=True):
+    if img.ndim == 4:
+        if img.shape[0] != 1:
+            raise VisualError("Image tensor must be exactly one image")
+
+        img = img[0]
+
+    out = img
+    if img.dtype == np.float32:
+        out = img.copy()
+        normalizeImageInplace(out)
+
+        if rollMaps and out.ndim == 3 and out.shape[0] > 1:
+            out = np.rollaxis(out, 0, 3)  # CHW -> HWC for PIL
+
+        out = imageToInt(out)
+
+    Image.fromarray(out.squeeze()).save(filename)
+
+
+def showImageBatch(batch, filebase, ext="png", rollMaps=True):
+    if batch.ndim != 4:
+        raise VisualError("Imagebatch tensor must be 4d tensor")
+
+    suffix = ext.lstrip(".")
+    for i, img in enumerate(batch, start=1):
+        showImage(img, "%s-%d.%s" % (filebase, i, suffix), rollMaps)
+
+
+def showImageBatchInFolder(batch, foldername, basename, ext="png", rollMaps=True):
+    os.makedirs(foldername, exist_ok=True)
+    showImageBatch(batch, os.path.join(foldername, basename), ext, rollMaps)
+
+
+def showFilters(filters, filename, offset=4, normalize=True):
+    outmaps, inmaps, fh, fw = filters.shape
+
+    # each (outmap, inmap) plane becomes one grayscale tile, inmaps per row
+    planes = filters.reshape(outmaps * inmaps, 1, fh, fw)
+    showImageBasedFilters(planes, filename, cols=inmaps, offset=offset, normalize=normalize)
+
+
+def showImageBasedFilters(filters, filename, cols=16, offset=4, normalize=True):
+    count, maps, fh, fw = filters.shape
+
+    if fh == fw == 1:
+        print("Aborting showing 1x1 filters in file %s ..." % filename)
+        return
+
+    rows = -(-count // cols)
+    mosaic = np.zeros((rows * (fh + offset) + offset, cols * (fw + offset) + offset, maps), dtype=np.uint8)
+
+    for index, tile in enumerate(filters):
+        if normalize:
+            tile = tile.copy()
+            normalizeImageInplace(tile)
+
+        top = offset + (index // cols) * (fh + offset)
+        left = offset + (index % cols) * (fw + offset)
+
+        mosaic[top:top + fh, left:left + fw] = np.moveaxis(imageToInt(tile), 0, 2)
+
+    Image.fromarray(mosaic.squeeze()).save(filename)
+
+
+# -- preprocessing -----------------------------------------------------------------
+
+
 def whiten(batch, epsilon=1e-2, PCA=False):
     shape = batch.shape
-    batch = batch.reshape(batch.shape[0], -1)
+    flat = batch.reshape(shape[0], -1)
+    flat -= flat.mean(axis=0, keepdims=True)
 
-    mean = np.mean(batch, axis=0)
-    batch -= mean[np.newaxis, :]
+    covariance = (flat.T @ flat) / flat.shape[0]
+    U, S, V = np.linalg.svd(covariance.astype(np.float32))
 
-    sigma = np.dot(batch.T, batch) / batch.shape[0]
-    U, S, V = np.linalg.svd(sigma.astype(np.float32))
+    transform = U * (1.0 / np.sqrt(S + epsilon))  # == U @ diag(...)
+    if not PCA:
+        transform = transform @ V  # rotate back: ZCA
 
-    zca = np.dot(U, np.diag(1.0 / np.sqrt(S + epsilon)))
-    zca = np.dot(zca, V) if not PCA else zca
-
-    return np.dot(batch, zca).reshape(shape)
+    return (flat @ transform).reshape(shape)

@@ -1,60 +1,41 @@
-"""1D-CNN sentiment on IMDB (reference: /root/reference/TestLib/CnnIMDBTrain.py)."""
+"""1D-CNN sentiment classification on IMDB.
 
-from puzzlelib_tpu.datasets import IMDBLoader
+Behavior parity target: /root/reference/TestLib/CnnIMDBTrain.py — embedding
+50, one Conv1D(k=3) + global max pool, 250-unit head, Adam 1e-3.
+"""
+
 from puzzlelib_tpu.containers import Sequential
 from puzzlelib_tpu.modules import (
     Embedder, Dropout, SwapAxes, Conv1D, Activation, relu, MaxPool1D, Flatten, Linear
 )
-from puzzlelib_tpu.handlers import Trainer, Validator
-from puzzlelib_tpu.optimizers import Adam
-from puzzlelib_tpu.cost import BCE
+
+from testlib._imdb import runSentiment
+
+NUMWORDS, MAXLEN, EMBSIZE = 5000, 250, 50
 
 
-def buildNet(numwords, maxlen, embsize):
-    seq = Sequential()
+def buildNet(numwords=NUMWORDS, maxlen=MAXLEN, embsize=EMBSIZE):
+    net = Sequential()
 
-    seq.append(Embedder(numwords, maxlen, embsize, initscheme="uniform", wscale=0.05, learnable=True))
-    seq.append(Dropout(p=0.2))
-    seq.append(SwapAxes(1, 2))
+    net.append(Embedder(numwords, maxlen, embsize, initscheme="uniform", wscale=0.05, learnable=True))
+    net.append(Dropout(p=0.2))
+    net.append(SwapAxes(1, 2))  # (batch, seq, emb) -> (batch, emb, seq) for Conv1D
 
-    seq.append(Conv1D(embsize, embsize, 3))
-    seq.append(Activation(relu))
-    seq.append(MaxPool1D(maxlen - 2, 1))
-    seq.append(Flatten())
+    net.append(Conv1D(embsize, embsize, 3))
+    net.append(Activation(relu))
+    net.append(MaxPool1D(maxlen - 2, 1))  # global max over the sequence
+    net.append(Flatten())
 
-    seq.append(Linear(embsize, 250))
-    seq.append(Dropout(p=0.2))
-    seq.append(Activation(relu))
+    net.append(Linear(embsize, 250))
+    net.append(Dropout(p=0.2))
+    net.append(Activation(relu))
+    net.append(Linear(250, 1))
 
-    seq.append(Linear(250, 1))
-
-    return seq
+    return net
 
 
 def main(epochs=15, datapath="testdata/"):
-    numwords, maxlen, embsize = 5000, 250, 50
-
-    imdb = IMDBLoader(numwords=numwords, maxlen=maxlen)
-    data, labels, _ = imdb.load(path=datapath)
-    data, labels = data[:], labels[:]
-    print("Loaded IMDB")
-
-    net = buildNet(numwords, maxlen, embsize)
-
-    optimizer = Adam(alpha=1e-3)
-    optimizer.setupOn(net, useGlobalState=True)
-
-    cost = BCE()
-    trainer = Trainer(net, cost, optimizer, batchsize=32)
-    validator = Validator(net, cost, batchsize=32)
-
-    for i in range(epochs):
-        trainer.trainFromHost(
-            data[:25000], labels[:25000], macroBatchSize=25000,
-            onMacroBatchFinish=lambda train: print("Train error: %s" % train.cost.getMeanError())
-        )
-        print("Accuracy: %s" % (1.0 - validator.validateFromHost(data[25000:], labels[25000:],
-                                                                 macroBatchSize=25000)))
+    runSentiment(buildNet, NUMWORDS, MAXLEN, epochs, datapath)
 
 
 if __name__ == "__main__":

@@ -1,4 +1,9 @@
-"""Tied-weight MNIST autoencoder (reference: /root/reference/TestLib/EncoderTrain.py)."""
+"""Tied-weight MNIST autoencoder.
+
+Behavior parity target: /root/reference/TestLib/EncoderTrain.py — 784-256-784
+with the decoder reusing the encoder weight transposed, MomentumSGD lr 10.0
+x0.8/epoch, 40 epochs, filter dumps every 5.
+"""
 
 import numpy as np
 
@@ -12,24 +17,39 @@ from puzzlelib_tpu.optimizers import MomentumSGD
 from puzzlelib_tpu.cost import MSE
 from puzzlelib_tpu.variable import Variable
 
+HIDDEN = 256
+PIXELS = 784
+
 
 def buildEncoder():
-    seq = Sequential()
+    net = Sequential()
 
-    seq.append(Linear(784, 256))
-    seq.append(Activation(relu, inplace=True))
-    seq.append(Dropout())
+    net.append(Linear(PIXELS, HIDDEN))
+    net.append(Activation(relu, inplace=True))
+    net.append(Dropout())
 
-    seq.append(Linear(256, 784, empty=True, transpose=True))
-    seq[-1].setVar("W", seq[0].vars["W"])
-    seq[-1].setVar("b", Variable(gpuarray.zeros((784, ), dtype=np.float32, allocator=memPool)))
+    # decoder shares the encoder weight, applied transposed
+    decoder = Linear(HIDDEN, PIXELS, empty=True, transpose=True)
+    decoder.setVar("W", net[0].vars["W"])
+    decoder.setVar("b", Variable(gpuarray.zeros((PIXELS, ), dtype=np.float32, allocator=memPool)))
+    net.append(decoder)
 
-    return seq
+    return net
+
+
+def trainEpoch(net, mse, optimizer, data, batchsize):
+    for i in range(data.shape[0] // batchsize):
+        batch = data[i * batchsize:(i + 1) * batchsize]
+
+        _, grad = mse(net(batch), batch)
+
+        net.zeroGradParams()
+        net.backward(grad)
+        optimizer.update()
 
 
 def main(epochs=40, datapath="testdata/"):
-    mnist = MnistLoader()
-    data, _ = mnist.load(path=datapath)
+    data, _ = MnistLoader().load(path=datapath)
     data = data[:].reshape(data.shape[0], -1)
     print("Loaded mnist")
 
@@ -38,33 +58,22 @@ def main(epochs=40, datapath="testdata/"):
 
     optimizer = MomentumSGD()
     optimizer.setupOn(net, useGlobalState=True)
-    optimizer.learnRate = 10.0
-    optimizer.momRate = 0.5
+    optimizer.learnRate, optimizer.momRate = 10.0, 0.5
 
     data = gpuarray.to_gpu(data)
-
-    batchsize = 100
     mse = MSE()
 
-    for epoch in range(epochs):
-        for i in range(data.shape[0] // batchsize):
-            batch = data[i * batchsize:(i + 1) * batchsize]
-
-            net(batch)
-            _, grad = mse(net.data, batch)
-
-            net.zeroGradParams()
-            net.backward(grad)
-            optimizer.update()
-
+    for epoch in range(1, epochs + 1):
+        trainEpoch(net, mse, optimizer, data, batchsize=100)
         optimizer.learnRate *= 0.8
-        print("Finished epoch %d" % (epoch + 1))
+
+        print("Finished epoch %d" % epoch)
         print("Error: %s" % mse.getMeanError())
         mse.resetAccumulator()
 
-        if (epoch + 1) % 5 == 0:
-            filters = net[0].W.get().T
-            showFilters(filters.reshape(16, 16, 28, 28), "%s/encoder.png" % datapath)
+        if epoch % 5 == 0:
+            firstLayer = net[0].W.get().T
+            showFilters(firstLayer.reshape(16, 16, 28, 28), "%s/encoder.png" % datapath)
 
 
 if __name__ == "__main__":

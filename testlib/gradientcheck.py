@@ -1,4 +1,9 @@
-"""Finite-difference gradient check (reference: /root/reference/TestLib/GradientCheck.py)."""
+"""Finite-difference gradient check.
+
+Behavior parity target: /root/reference/TestLib/GradientCheck.py — central
+differences on every parameter of a small conv/BN net against the framework's
+analytic gradients.
+"""
 
 import numpy as np
 
@@ -24,35 +29,30 @@ def buildNet():
 
 
 def gradientCheck(mod, data, target, cost, h=1e-3, log=True):
-    """Return per-parameter relative finite-difference errors."""
-    vartable = mod.getVarTable()
+    """Return per-parameter relative central-difference errors."""
+    def lossAt(var, flatIndex, value, keep):
+        perturbed = keep.copy()
+        perturbed.ravel()[flatIndex] = value
+        var.data.set(perturbed)
 
-    mod(data)
-    error, grad = cost(mod.data, target)
+        loss, _ = cost(mod(data), target)
+        return loss
+
+    # analytic gradients once
+    error, grad = cost(mod(data), target)
     mod.backward(grad, updGrad=False)
 
     relerrors = []
 
-    for var in vartable.keys():
-        w = var.data.get()
-        dw = -var.grad.get()
+    for var in mod.getVarTable():
+        theta = var.data.get()
+        analytic = -var.grad.get().ravel()
 
-        for i in range(w.ravel().shape[0]):
-            wph, wmh = np.copy(w), np.copy(w)
+        for i, w in enumerate(theta.ravel()):
+            numeric = (lossAt(var, i, w + h, theta) - lossAt(var, i, w - h, theta)) / (2.0 * h)
+            var.data.set(theta)
 
-            wph.ravel()[i] = w.ravel()[i] + h
-            var.data.set(wph)
-            yph, _ = cost(mod(data), target)
-
-            wmh.ravel()[i] = w.ravel()[i] - h
-            var.data.set(wmh)
-            ymh, _ = cost(mod(data), target)
-
-            host = (yph - ymh) / (2.0 * h)
-            dev = dw.ravel()[i]
-            var.data.set(w)
-
-            rel = abs((host - dev) / (dev + h))
+            rel = abs((numeric - analytic[i]) / (analytic[i] + h))
             relerrors.append(rel)
 
             if log:

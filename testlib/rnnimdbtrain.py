@@ -1,52 +1,31 @@
-"""LSTM sentiment on IMDB (reference: /root/reference/TestLib/RnnIMDBTrain.py)."""
+"""LSTM sentiment classification on IMDB.
 
-from puzzlelib_tpu.backend import dnn as Dnn
+Behavior parity target: /root/reference/TestLib/RnnIMDBTrain.py — embedding
+128, single LSTM 128 with 0.2 dropout, Adam 1e-3, 15 epochs.
+"""
+
 from puzzlelib_tpu.containers import Sequential
 from puzzlelib_tpu.modules import Embedder, SwapAxes, RNN, Linear
-from puzzlelib_tpu.datasets import IMDBLoader
-from puzzlelib_tpu.handlers import Trainer, Validator
-from puzzlelib_tpu.optimizers import Adam
-from puzzlelib_tpu.cost import BCE
+
+from testlib._imdb import batchPlan, runSentiment
+
+NUMWORDS, MAXLEN, EMBSIZE, HSIZE = 20000, 80, 128, 128
 
 
-def buildNet(numwords, maxlen, hintBatchsize):
-    seq = Sequential()
+def buildNet(numwords=NUMWORDS, maxlen=MAXLEN, hintBatchsize=None):
+    net = Sequential()
 
-    seq.append(Embedder(numwords, maxlen, 128, initscheme="uniform", wscale=0.05, learnable=True))
-    seq.append(SwapAxes(0, 1))
-    seq.append(RNN(128, 128, mode="lstm", dropout=0.2, hintBatchSize=hintBatchsize))
-    seq.append(Linear(128, 1))
+    net.append(Embedder(numwords, maxlen, EMBSIZE, initscheme="uniform", wscale=0.05, learnable=True))
+    net.append(SwapAxes(0, 1))  # (batch, seq, emb) -> (seq, batch, emb) for the RNN
+    net.append(RNN(EMBSIZE, HSIZE, mode="lstm", dropout=0.2, hintBatchSize=hintBatchsize))
+    net.append(Linear(HSIZE, 1))
 
-    return seq
+    return net
 
 
 def main(epochs=15, datapath="testdata/"):
-    hintBatchsize, batchsize = (40, 40) if Dnn.deviceSupportsBatchHint() else (None, 32)
-
-    numwords, maxlen = 20000, 80
-
-    imdb = IMDBLoader(numwords=numwords, maxlen=maxlen)
-    data, labels, _ = imdb.load(path=datapath)
-    data, labels = data[:], labels[:]
-    print("Loaded IMDB")
-
-    net = buildNet(numwords, maxlen, hintBatchsize)
-
-    optimizer = Adam(alpha=1e-3)
-    optimizer.setupOn(net, useGlobalState=True)
-
-    cost = BCE()
-    trainer = Trainer(net, cost, optimizer, batchsize=batchsize)
-    validator = Validator(net, cost, batchsize=batchsize)
-
-    print("Started training ...")
-    for i in range(epochs):
-        trainer.trainFromHost(
-            data[:25000], labels[:25000], macroBatchSize=25000,
-            onMacroBatchFinish=lambda train: print("Train error: %s" % train.cost.getMeanError())
-        )
-        print("Accuracy: %s" % (1.0 - validator.validateFromHost(data[25000:], labels[25000:],
-                                                                 macroBatchSize=25000)))
+    hint, _ = batchPlan()
+    runSentiment(lambda: buildNet(hintBatchsize=hint), NUMWORDS, MAXLEN, epochs, datapath)
 
 
 if __name__ == "__main__":

@@ -224,3 +224,31 @@ def testCTCAgainstBruteForce():
 
         fd = (float(ep) - float(em)) / (2 * h)
         assert np.isclose(-np.asarray(grad)[idx], fd, atol=1e-2), (idx, -np.asarray(grad)[idx], fd)
+
+
+def testCTCHostOracleAgreement():
+    """The jitted ctcLoss must agree with the independent numpy
+    forward/backward oracle (hostCTCLoss) on variable-length batches."""
+    import jax.numpy as jnp
+    from puzzlelib_tpu.ops.ctc import ctcLoss, hostCTCLoss
+
+    np.random.seed(7)
+    T, B, V = 11, 4, 6
+    blank = 0
+
+    data = np.random.randn(T, B, V).astype(np.float32)
+    datalen = np.array([11, 9, 7, 5], np.int32)
+    lengths = np.array([4, 3, 2, 1], np.int32)
+    labels = np.concatenate([
+        np.array([1, 2, 2, 3], np.int32),
+        np.array([4, 1, 5], np.int32),
+        np.array([2, 3], np.int32),
+        np.array([5], np.int32),
+    ])
+
+    err, grad = ctcLoss(jnp.asarray(data), datalen, labels, lengths, blank)
+    hostErr, hostGrad, _ = hostCTCLoss(data, datalen, labels, lengths, blank)
+
+    assert np.isclose(float(err), hostErr, rtol=1e-4), (float(err), hostErr)
+    assert np.allclose(-np.asarray(grad), hostGrad, atol=5e-4), \
+        float(np.abs(-np.asarray(grad) - hostGrad).max())

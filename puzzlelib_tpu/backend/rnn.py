@@ -18,8 +18,9 @@ path differentiates straight through instead).
 
 The flat-weight layout is self-defined (interleaved [W, bias] per cuDNN
 linLayer, layer-major); reference HDF5 checkpoints of RNN weights use cuDNN's
-opaque layout and are not bit-compatible - use the named param dict for
-interchange.
+packed layout — convert with
+``puzzlelib_tpu.converter.rnnweights.convertRnnWeights`` /
+``convertRnnCheckpoint`` (tested round-trip + per-gate-view agreement).
 """
 
 from functools import partial

@@ -4,9 +4,12 @@ The reference forks one process per GPU and all-reduces gradients through
 CUDA-IPC handles in a star topology (/root/reference/Grid.py:66-157).  JAX is
 single-controller: here ``runGrid`` spawns one *thread* per device, pins each
 node's computations to its device via ``jax.default_device``, and implements
-``sumTensor``/``meanValue``/``broadcastBuffer`` with a barrier rendezvous +
-cross-device mean.  Semantics (grad mean-allreduce before the update, scalar
-means, param broadcast at setup) match the reference exactly.
+``sumTensor``/``broadcastBuffer`` as real device-side collectives: the
+per-node tensors are assembled into one array sharded over a grid Mesh and a
+jitted mean/select with replicated output sharding makes GSPMD emit the
+all-reduce/broadcast (ICI on real TPU meshes) — no host staging.  Semantics
+(grad mean-allreduce before the update, scalar means, param broadcast at
+setup) match the reference exactly.
 
 For production throughput use ``FusedStep(mesh=...)`` instead - one jitted
 step over a device mesh with XLA-inserted collectives.
@@ -107,25 +110,47 @@ class NodeInfo:
     def meanValue(self, value):
         return self._exchange(float(value), lambda vals: sum(vals) / self.gridsize)
 
-    def broadcastBuffer(self, name, buffer):
-        """Copy node 0's buffer contents into every node's buffer."""
+    def _collective(self, tensor, reducer):
+        """Assemble every node's tensor into one mesh-sharded array, run a
+        jitted ``reducer`` with replicated output (GSPMD inserts the
+        collective), and hand each node its device-local replica."""
         import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-        source = self._exchange(buffer, lambda bufs: np.asarray(bufs[0].jax))
+        def runCollective(slots):
+            allDevices = jax.devices()
+            devices = [allDevices[devIdx] for _, devIdx in slots]
+            mesh = Mesh(np.array(devices), ("grid", ))
 
-        if self.index != 0:
-            buffer._write(jax.device_put(source, jax.devices()[self.device]))
+            pieces = [
+                jax.device_put(slot.jax.reshape((1, ) + slot.shape), dev)
+                for (slot, _), dev in zip(slots, devices)
+            ]
+            stacked = jax.make_array_from_single_device_arrays(
+                (len(devices), ) + slots[0][0].shape, NamedSharding(mesh, P("grid")), pieces,
+            )
+
+            return jax.jit(reducer, out_shardings=NamedSharding(mesh, P()))(stacked)
+
+        replicated = self._exchange((tensor, self.device), runCollective)
+
+        import jax as _jax
+        mine = _jax.devices()[self.device]
+        for shard in replicated.addressable_shards:
+            if shard.device == mine:
+                tensor._write(shard.data)
+                return
+
+        tensor._write(_jax.device_put(np.asarray(replicated), mine))
+
+    def broadcastBuffer(self, name, buffer):
+        """Device-side broadcast: node 0's buffer replaces every node's."""
+        import jax.numpy as jnp
+        self._collective(buffer, lambda x: x[0])
 
     def sumTensor(self, name, tensor):
-        """Mean-allreduce: every node's tensor is replaced by the grid mean."""
-        import jax
-
-        def reduceMean(tensors):
-            acc = np.asarray(tensors[0].jax, dtype=np.float32)
-            for t in tensors[1:]:
-                acc = acc + np.asarray(t.jax, dtype=np.float32)
-
-            return (acc / self.gridsize).astype(tensor.dtype)
-
-        mean = self._exchange(tensor, reduceMean)
-        tensor._write(jax.device_put(mean, jax.devices()[self.device]))
+        """Device-side mean-allreduce: every node's tensor is replaced by the
+        grid mean."""
+        import jax.numpy as jnp
+        scale = 1.0 / self.gridsize
+        self._collective(tensor, lambda x: (jnp.sum(x.astype(jnp.float32), axis=0) * scale).astype(x.dtype))

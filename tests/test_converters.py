@@ -226,3 +226,32 @@ def testHalfPrecisionEngines(tmp_path):
         assert out.dtype == np.float32 and cos > 0.999, (dt, cos)
 
     assert net[0].W.get().dtype == np.float32, "engine build mutated the source net"
+
+
+def testRnnWeightLayoutConversion():
+    """cuDNN packed blob <-> native layout: round trip is exact and the
+    converted blob presents the same named per-gate views."""
+    import numpy as np
+    from puzzlelib_tpu.converter.rnnweights import convertRnnWeights, cudnnRnnLayout
+    from puzzlelib_tpu.backend.rnn import RnnDesc
+
+    for mode, direction, layers in [("lstm", "uni", 2), ("gru", "bi", 2), ("tanh", "uni", 1)]:
+        insize, hsize = 6, 5
+        entries, wsize = cudnnRnnLayout(mode, insize, hsize, layers, direction)
+
+        rng = np.random.RandomState(3)
+        cudnnBlob = rng.randn(wsize).astype(np.float32)
+
+        native = convertRnnWeights(cudnnBlob, mode, insize, hsize, layers, direction, source="cudnn")
+        back = convertRnnWeights(native, mode, insize, hsize, layers, direction, source="native")
+        assert np.array_equal(back, cudnnBlob), (mode, direction)
+
+        # named views of the converted blob match slices of the cuDNN blob
+        desc = RnnDesc(insize, hsize, layers, mode, direction)
+        for layer, name, offset, shape in entries:
+            count = int(np.prod(shape))
+            expect = cudnnBlob[offset:offset + count].reshape(shape)
+
+            nOffset, nShape = desc.layout[layer][name]
+            got = native[nOffset:nOffset + count].reshape(nShape)
+            assert np.array_equal(got, expect), (mode, layer, name)

@@ -1,0 +1,309 @@
+"""Cross-framework parity against the reference implementation.
+
+The reference's pure-numpy CPU backend (/root/reference/CPU/CPUArray.py,
+Config.backend=cpu) runs GPU-free, so it serves as the independent oracle the
+BASELINE demands: identical nets are built in both frameworks, checkpoints
+written by one are loaded by the other, and forward/backward/training results
+must agree to 1e-4.
+
+Skipped when /root/reference is not present.
+"""
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference tree not available")
+
+ATOL = 1e-4
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference framework on its numpy CPU backend."""
+    wrapper = tempfile.mkdtemp(prefix="refwrap")
+    link = os.path.join(wrapper, "PuzzleLib")
+    if not os.path.exists(link):
+        os.symlink(REFERENCE, link)
+
+    sys.path.insert(0, wrapper)
+
+    from PuzzleLib import Config
+    Config.backend = Config.Backend.cpu
+
+    import PuzzleLib.Backend.gpuarray  # noqa: F401  (binds the CPU backend)
+    import PuzzleLib.Modules as RefModules
+    import PuzzleLib.Containers as RefContainers
+    import PuzzleLib.Cost as RefCost
+    import PuzzleLib.Optimizers as RefOptimizers
+    import PuzzleLib.Backend.gpuarray as RefArray
+    import PuzzleLib.Blueprint as RefBlueprint
+
+    class Namespace:
+        Modules, Containers, Cost = RefModules, RefContainers, RefCost
+        Optimizers, gpuarray, Blueprint = RefOptimizers, RefArray, RefBlueprint
+
+    return Namespace
+
+
+def _buildConvNet(M, C):
+    """The same small conv net in either framework: M=Modules, C=Containers."""
+    net = C.Sequential(name="parity")
+
+    net.append(M.Conv2D(1, 6, 3, name="c1"))
+    net.append(M.MaxPool2D(name="p1"))
+    net.append(M.Activation(M.relu, name="a1"))
+    net.append(M.BatchNorm2D(6, name="bn1"))
+    net.append(M.Conv2D(6, 4, 3, name="c2"))
+    net.append(M.Flatten(name="f1"))
+    net.append(M.Linear(4 * 11 * 11, 10, name="fc1"))
+
+    return net
+
+
+def _buildOurConvNet():
+    from puzzlelib_tpu import modules as M
+    from puzzlelib_tpu import containers as C
+    return _buildConvNet(M, C)
+
+
+def _refForward(refNs, net, hostData):
+    net.evalMode()
+    out = net(refNs.gpuarray.to_gpu(hostData))
+    return np.asarray(out.get())
+
+
+def _ourForward(net, hostData):
+    from puzzlelib_tpu.backend import gpuarray
+    net.evalMode()
+    return np.asarray(net(gpuarray.to_gpu(hostData)).get())
+
+
+def testReferenceCheckpointLoadsHere(ref):
+    """A checkpoint written by the reference loads here; forward agrees."""
+    np.random.seed(10)
+    refNet = _buildConvNet(ref.Modules, ref.Containers)
+    image = refNet.save(withBlueprint=True)
+
+    ours = _buildOurConvNet()
+    ours.load(image)
+
+    x = np.random.randn(4, 1, 28, 28).astype(np.float32)
+    got, expect = _ourForward(ours, x), _refForward(ref, refNet, x)
+
+    assert np.allclose(got, expect, atol=ATOL), float(np.abs(got - expect).max())
+
+
+def testOurCheckpointLoadsInReference(ref):
+    """A checkpoint written here loads in the reference; forward agrees."""
+    np.random.seed(11)
+    ours = _buildOurConvNet()
+    image = ours.save(withBlueprint=True)
+
+    refNet = _buildConvNet(ref.Modules, ref.Containers)
+    refNet.load(image)
+
+    x = np.random.randn(4, 1, 28, 28).astype(np.float32)
+    got, expect = _ourForward(ours, x), _refForward(ref, refNet, x)
+
+    assert np.allclose(got, expect, atol=ATOL), float(np.abs(got - expect).max())
+
+
+def testBlueprintCrossBuild(ref):
+    """Our Blueprint.load rebuilds a net from a reference-written checkpoint
+    (architecture JSON + weights) without a hand-built skeleton."""
+    np.random.seed(12)
+    refNet = _buildConvNet(ref.Modules, ref.Containers)
+    image = refNet.save(withBlueprint=True)
+
+    from puzzlelib_tpu import blueprint
+    ours = blueprint.load(image)
+
+    x = np.random.randn(2, 1, 28, 28).astype(np.float32)
+    got, expect = _ourForward(ours, x), _refForward(ref, refNet, x)
+
+    assert np.allclose(got, expect, atol=ATOL), float(np.abs(got - expect).max())
+
+
+def _trainSteps(framework, net, gpuarray, cost, optimizer, data, target, steps):
+    """Identical manual train loop in either framework (momentum=0.0 because
+    the reference CPU gemm supports no accumulation)."""
+    errors = []
+    dev, tgt = gpuarray.to_gpu(data), gpuarray.to_gpu(target)
+
+    for _ in range(steps):
+        err, grad = cost(net(dev), tgt)
+        errors.append(float(err))
+
+        optimizer.zeroGradParams()
+        net.backward(grad, updGrad=False, momentum=0.0)
+        optimizer.update()
+
+        net.reset()
+
+    return errors
+
+
+def testTrainingParityMlp(ref):
+    """Same MLP + MomentumSGD + MSE trained in both frameworks from the same
+    checkpoint on the same data: per-step losses and final weights to 1e-4.
+    This is the BASELINE GradientCheck-vs-numpy-oracle gate, executed as
+    full-loop agreement instead of a relaxed finite-difference bound."""
+    np.random.seed(13)
+
+    def build(M, C):
+        net = C.Sequential(name="mlp")
+        net.append(M.Linear(12, 16, name="l1"))
+        net.append(M.Activation(M.relu, name="a1"))
+        net.append(M.Linear(16, 5, name="l2"))
+        return net
+
+    refNet = build(ref.Modules, ref.Containers)
+    image = refNet.save()
+
+    from puzzlelib_tpu import modules as M
+    from puzzlelib_tpu import containers as C
+    from puzzlelib_tpu.backend import gpuarray as ourArray
+    from puzzlelib_tpu.cost import MSE
+    from puzzlelib_tpu.optimizers import MomentumSGD
+
+    ourNet = build(M, C)
+    ourNet.load(image)
+
+    data = np.random.randn(8, 12).astype(np.float32)
+    target = np.random.randn(8, 5).astype(np.float32)
+
+    refOpt = ref.Optimizers.MomentumSGD(learnRate=0.05, momRate=0.9)
+    refOpt.setupOn(refNet, useGlobalState=True)
+
+    ourOpt = MomentumSGD(learnRate=0.05, momRate=0.9)
+    ourOpt.setupOn(ourNet, useGlobalState=True)
+
+    refErrs = _trainSteps("ref", refNet, ref.gpuarray, ref.Cost.MSE(), refOpt, data, target, steps=8)
+    ourErrs = _trainSteps("ours", ourNet, ourArray, MSE(), ourOpt, data, target, steps=8)
+
+    assert np.allclose(refErrs, ourErrs, atol=ATOL), (refErrs, ourErrs)
+
+    for name in ("l1", "l2"):
+        theirs = np.asarray(refNet[name].W.get())
+        mine = np.asarray(ourNet[name].W.get())
+        assert np.allclose(mine, theirs, atol=ATOL), (name, float(np.abs(mine - theirs).max()))
+
+
+def testForwardParityPerModule(ref):
+    """Module-level forward agreement on shared random weights: the per-module
+    sweep SURVEY 7 step 1 called for, limited to what the reference CPU
+    backend implements."""
+    np.random.seed(14)
+
+    x4 = np.random.randn(2, 3, 12, 12).astype(np.float32)
+    x2 = np.random.randn(6, 10).astype(np.float32)
+
+    cases = [
+        ("Conv2D", lambda M: M.Conv2D(3, 5, 3, name="m"), x4),
+        ("Conv2D-strided", lambda M: M.Conv2D(3, 5, 3, stride=2, pad=1, name="m"), x4),
+        ("MaxPool2D", lambda M: M.MaxPool2D(name="m"), x4),
+        ("AvgPool2D", lambda M: M.AvgPool2D(name="m"), x4),
+        ("Linear", lambda M: M.Linear(10, 7, name="m"), x2),
+        ("Activation-relu", lambda M: M.Activation(M.relu, name="m"), x2),
+        ("Activation-sigmoid", lambda M: M.Activation(M.sigmoid, name="m"), x2),
+        ("Activation-tanh", lambda M: M.Activation(M.tanh, name="m"), x2),
+        # SoftMax is omitted: the reference CPU backend never binds softmaxNd
+        # (/root/reference/Backend/Dnn.py:341-371), so there is no oracle there
+        ("BatchNorm2D-eval", lambda M: M.BatchNorm2D(3, name="m"), x4),
+    ]
+
+    from puzzlelib_tpu import modules as M
+
+    for label, factory, x in cases:
+        refMod = factory(ref.Modules)
+        image = refMod.save()
+
+        ourMod = factory(M)
+        ourMod.load(image)
+
+        refMod.evalMode()
+        ourMod.evalMode()
+
+        expect = np.asarray(refMod(ref.gpuarray.to_gpu(x)).get())
+
+        from puzzlelib_tpu.backend import gpuarray
+        got = np.asarray(ourMod(gpuarray.to_gpu(x)).get())
+
+        assert np.allclose(got, expect, atol=ATOL), (label, float(np.abs(got - expect).max()))
+
+
+def testRealDataAccuracyParity(ref):
+    """Both frameworks train the same MLP on the UCI handwritten-digits
+    dataset (the only real dataset available offline) from one shared
+    checkpoint and reach the SAME validation accuracy — and that accuracy is
+    high enough to prove genuine learning, not just numeric agreement."""
+    sklearn = pytest.importorskip("sklearn.datasets")
+
+    digits = sklearn.load_digits()
+    x = (digits.images.reshape(-1, 64) / 16.0).astype(np.float32)
+    y = digits.target.astype(np.int32)
+
+    split = 1500
+    trainX, trainY, valX, valY = x[:split], y[:split], x[split:], y[split:]
+
+    # the reference CPU backend binds no classification cost kernels
+    # (/root/reference/Backend/Kernels/Costs.py:76 initCPU is a no-op), so the
+    # shared loss is MSE against one-hot targets
+    trainHot = np.eye(10, dtype=np.float32)[trainY]
+
+    def build(M, C):
+        net = C.Sequential(name="digits")
+        net.append(M.Linear(64, 64, name="h"))
+        net.append(M.Activation(M.relu, name="a"))
+        net.append(M.Linear(64, 10, name="out"))
+        return net
+
+    np.random.seed(15)
+    refNet = build(ref.Modules, ref.Containers)
+    image = refNet.save()
+
+    from puzzlelib_tpu import modules as M
+    from puzzlelib_tpu import containers as C
+    from puzzlelib_tpu.backend import gpuarray as ourArray
+    from puzzlelib_tpu.cost import MSE
+    from puzzlelib_tpu.optimizers import MomentumSGD
+
+    ourNet = build(M, C)
+    ourNet.load(image)
+
+    def train(net, gpuarray, cost, optimizer, epochs=60, batch=100):
+        for _ in range(epochs):
+            for i in range(split // batch):
+                bx = gpuarray.to_gpu(trainX[i * batch:(i + 1) * batch])
+                by = gpuarray.to_gpu(trainHot[i * batch:(i + 1) * batch])
+
+                _, grad = cost(net(bx), by)
+                optimizer.zeroGradParams()
+                net.backward(grad, updGrad=False, momentum=0.0)
+                optimizer.update()
+                net.reset()
+
+    def accuracy(net, gpuarray):
+        net.evalMode()
+        preds = np.asarray(net(gpuarray.to_gpu(valX)).get()).argmax(axis=1)
+        net.trainMode()
+        return float((preds == valY).mean())
+
+    refOpt = ref.Optimizers.MomentumSGD(learnRate=0.5, momRate=0.9)
+    refOpt.setupOn(refNet, useGlobalState=True)
+    train(refNet, ref.gpuarray, ref.Cost.MSE(), refOpt)
+
+    ourOpt = MomentumSGD(learnRate=0.5, momRate=0.9)
+    ourOpt.setupOn(ourNet, useGlobalState=True)
+    train(ourNet, ourArray, MSE(), ourOpt)
+
+    refAcc, ourAcc = accuracy(refNet, ref.gpuarray), accuracy(ourNet, ourArray)
+
+    assert ourAcc >= 0.90, "did not learn: %.3f" % ourAcc
+    assert abs(refAcc - ourAcc) <= 0.02, (refAcc, ourAcc)

@@ -4,7 +4,9 @@ Replaces the cuDNN binding (/root/reference/Cuda/Source/Libs/CuDnn.c:1155-1220)
 with ``lax.conv_general_dilated``.  The backward passes are written as explicit
 convolutions rather than ``jax.vjp`` of the forward:
 
-- bwd-filter is an im2col contraction (patches x grad -> one big MXU matmul);
+- bwd-filter is itself a convolution with the batch and feature roles swapped
+  (activations convolved with the output gradient as the kernel) - one fused
+  MXU pass, no HBM-materialised im2col;
 - bwd-data is the direct transposed conv (input-dilated conv with the
   spatially-reversed, IO-swapped kernel).
 
@@ -12,6 +14,12 @@ Both avoid XLA's conv-transpose rewrites (batch_group_count and friends),
 which the axon remote compiler handles pathologically slowly for some shapes
 (single-channel bwd-filter was observed to hang for minutes), and they map
 exactly onto the implicit-GEMM structure the Pallas kernels use.
+
+Layout policy: the public API is NCHW (reference parity), but on accelerator
+platforms low-precision convs are routed through channels-last (NHWC) specs -
+XLA's TPU lowering of NCHW bf16 convs is an order of magnitude slower, while
+the explicit transposes are cheap, visible to XLA, and cancel between adjacent
+convs inside a fused train step.
 
 Algo selection (``ConvFwdAlgo`` etc.) is retained as an API-level no-op: XLA
 owns scheduling, and `optimizeForShape` maps to ahead-of-time compilation.
@@ -30,8 +38,41 @@ def _dimNumbers(nd):
     return ("NC" + spatial, "OI" + spatial, "NC" + spatial)
 
 
+def _channelsLastNumbers(nd):
+    spatial = "DHW"[3 - nd:]
+    return ("N" + spatial + "C", spatial + "IO", "N" + spatial + "C")
+
+
+def _useChannelsLast(dtype):
+    # sub-f32 NCHW convs hit XLA TPU's slow path; reroute through NHWC
+    return jnp.dtype(dtype).itemsize < 4 and jax.default_backend() != "cpu"
+
+
+def _toNhwc(x):
+    nd = x.ndim - 2
+    return jnp.transpose(x, (0, ) + tuple(range(2, 2 + nd)) + (1, ))
+
+
+def _fromNhwc(x):
+    nd = x.ndim - 2
+    return jnp.transpose(x, (0, x.ndim - 1) + tuple(range(1, 1 + nd)))
+
+
 def _convCore(x, w, stride, pad, dilation, groups):
     nd = x.ndim - 2
+
+    if _useChannelsLast(x.dtype):
+        out = lax.conv_general_dilated(
+            _toNhwc(x), jnp.transpose(w, tuple(range(2, 2 + nd)) + (1, 0)),
+            window_strides=stride,
+            padding=[(p, p) for p in pad],
+            rhs_dilation=dilation,
+            dimension_numbers=_channelsLastNumbers(nd),
+            feature_group_count=groups,
+            preferred_element_type=jnp.float32,
+        )
+        return _fromNhwc(out).astype(x.dtype)
+
     return lax.conv_general_dilated(
         x, w,
         window_strides=stride,
@@ -53,38 +94,79 @@ def convNd(x, w, b, stride, pad, dilation, groups, hasBias=False):
     return out
 
 
-# -- bwd-filter: im2col patches x grad, one dot_general on the MXU -------------
+# -- bwd-filter: a convolution with batch and feature roles swapped ------------
 
-def _filterGrad(x, grad, size, stride, pad, dilation, groups):
-    """dW (outmaps, inmaps//groups, *size) of the forward conv, computed as a
-    patches-matrix contraction in f32."""
-    x32, g32 = x.astype(jnp.float32), grad.astype(jnp.float32)
-    inmaps, outmaps = x.shape[1], grad.shape[1]
+def _filterGradDense(x, grad, size, stride, pad, dilation):
+    """dW (outmaps, inmaps, *size): convolve x (batch role -> channels) with
+    grad as the kernel (contraction over the true batch), one fused conv.
 
-    # (N, C * prod(size), *outspatial), feature dim ordered (C, *size)
-    patches = lax.conv_general_dilated_patches(
-        x32, size, stride, [(p, p) for p in pad], rhs_dilation=dilation,
+    Window strides take the forward dilation, rhs dilation takes the forward
+    stride, and the high padding is trimmed so the "output" spatial dims land
+    exactly on the filter size (recovers pixels lost to stride flooring).
+    """
+    nd = x.ndim - 2
+    spatial = "DHW"[3 - nd:]
+
+    padding = tuple(
+        (pad[i],
+         dilation[i] * (size[i] - 1) + stride[i] * (grad.shape[2 + i] - 1) + 1
+         - x.shape[2 + i] - pad[i])
+        for i in range(nd)
     )
 
-    n = x.shape[0]
-    kk = int(np.prod(size))
-    spatial = int(np.prod(patches.shape[2:]))
+    out = lax.conv_general_dilated(
+        x, grad,
+        window_strides=dilation,
+        padding=padding,
+        rhs_dilation=stride,
+        dimension_numbers=("CN" + spatial, "IO" + spatial, "NC" + spatial),
+        preferred_element_type=jnp.float32,
+    )                                            # (inmaps, outmaps, *size)
+    return jnp.swapaxes(out, 0, 1)
 
-    pm = patches.reshape(n, inmaps, kk, spatial)
-    gm = g32.reshape(n, outmaps, spatial)
+
+def _filterGradDenseNhwc(x, grad, size, stride, pad, dilation):
+    """Channels-last variant of ``_filterGradDense`` for sub-f32 dtypes."""
+    nd = x.ndim - 2
+    spatial = "DHW"[3 - nd:]
+
+    padding = tuple(
+        (pad[i],
+         dilation[i] * (size[i] - 1) + stride[i] * (grad.shape[2 + i] - 1) + 1
+         - x.shape[2 + i] - pad[i])
+        for i in range(nd)
+    )
+
+    xl = jnp.transpose(x, (1, ) + tuple(range(2, 2 + nd)) + (0, ))      # (C, *sp, N)
+    gl = jnp.transpose(grad, tuple(range(2, 2 + nd)) + (0, 1))          # (*sp, N, CO)
+
+    out = lax.conv_general_dilated(
+        xl, gl,
+        window_strides=dilation,
+        padding=padding,
+        rhs_dilation=stride,
+        dimension_numbers=("N" + spatial + "C", spatial + "IO", "N" + spatial + "C"),
+        preferred_element_type=jnp.float32,
+    )                                            # (inmaps, *size, outmaps)
+    return jnp.transpose(out, (nd + 1, 0) + tuple(range(1, 1 + nd)))
+
+
+def _filterGrad(x, grad, size, stride, pad, dilation, groups):
+    """dW (outmaps, inmaps//groups, *size) of the forward conv, f32 accumulate."""
+    dense = _filterGradDenseNhwc if _useChannelsLast(x.dtype) else _filterGradDense
 
     if groups == 1:
-        dw = jnp.einsum("nos,ncks->ock", gm, pm)
-        return dw.reshape((outmaps, inmaps) + size)
+        return dense(x, grad, size, stride, pad, dilation)
 
+    inmaps, outmaps = x.shape[1], grad.shape[1]
     cpg, opg = inmaps // groups, outmaps // groups
-    parts = []
-    for g in range(groups):
-        gSlice = gm[:, g * opg:(g + 1) * opg]
-        pSlice = pm[:, g * cpg:(g + 1) * cpg]
-        parts.append(jnp.einsum("nos,ncks->ock", gSlice, pSlice))
 
-    return jnp.concatenate(parts, axis=0).reshape((outmaps, cpg) + size)
+    parts = [
+        dense(x[:, g * cpg:(g + 1) * cpg], grad[:, g * opg:(g + 1) * opg],
+              size, stride, pad, dilation)
+        for g in range(groups)
+    ]
+    return jnp.concatenate(parts, axis=0)
 
 
 @partial(jax.jit, static_argnames=("stride", "pad", "dilation", "groups", "hasBias"))
@@ -122,15 +204,28 @@ def _transposedConv(y, w, stride, pad, dilation, adj, groups):
     outmaps = y.shape[1]
     opg = outmaps // groups
 
-    def oneGroup(yg, wg):
-        return lax.conv_general_dilated(
-            yg.astype(jnp.float32), wg.astype(jnp.float32),
-            window_strides=(1, ) * nd,
-            padding=padding,
-            lhs_dilation=stride,
-            rhs_dilation=dilation,
-            dimension_numbers=_dimNumbers(nd),
-        )
+    if _useChannelsLast(y.dtype):
+        def oneGroup(yg, wg):
+            out = lax.conv_general_dilated(
+                _toNhwc(yg), jnp.transpose(wg, tuple(range(2, 2 + nd)) + (1, 0)),
+                window_strides=(1, ) * nd,
+                padding=padding,
+                lhs_dilation=stride,
+                rhs_dilation=dilation,
+                dimension_numbers=_channelsLastNumbers(nd),
+                preferred_element_type=jnp.float32,
+            )
+            return _fromNhwc(out)
+    else:
+        def oneGroup(yg, wg):
+            return lax.conv_general_dilated(
+                yg.astype(jnp.float32), wg.astype(jnp.float32),
+                window_strides=(1, ) * nd,
+                padding=padding,
+                lhs_dilation=stride,
+                rhs_dilation=dilation,
+                dimension_numbers=_dimNumbers(nd),
+            )
 
     if groups == 1:
         # kernel laid out (I, O, *size) -> swap to OIHW-style (I plays O)

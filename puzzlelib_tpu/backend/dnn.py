@@ -134,11 +134,23 @@ def _accumulateParamGrads(dw, db, W, bias, wgrad, bgrad, scale, momentum):
 
 def convNdbenchmark(datashape, Wshape, stride, pad, dilation, groups, transpose=False):
     """Time the three compiled conv kernels; returns (fwd, bwdFilter, bwdData)
-    ConvPerf lists (one entry each: XLA picks the algorithm)."""
+    ConvPerf lists (one entry each: XLA picks the algorithm).
+
+    For Pallas-eligible shapes this also runs the tile autotuner, so
+    ``Module.optimizeForShape`` persists the best (th, owb, r) tiling for the
+    subsequent training steps (the cuDNN-algo-search equivalent,
+    reference: Cuda/GPUBackend.py:371)."""
     import jax
     from puzzlelib_tpu.backend.device import timeKernel
 
     stride, pad, dilation = _t(stride), _t(pad), _t(dilation)
+
+    if not transpose and len(datashape) == 4 and jax.default_backend() != "cpu":
+        import jax.numpy as jnp
+        from puzzlelib_tpu.ops.pallas import conv as _pconv
+
+        if _pconv.applicable(datashape, Wshape, stride, pad, dilation, groups):
+            _pconv.autotune(datashape, Wshape, pad, dtype=jnp.bfloat16)
 
     x = jax.numpy.zeros(datashape, np.float32)
     w = jax.numpy.zeros(Wshape, np.float32)

@@ -67,6 +67,11 @@ gemmAlgo = os.environ.get("PUZZLE_GEMM_ALGO", "xla")
 # attention inference kernel: "xla" or "flash" (Pallas online-softmax)
 attentionAlgo = os.environ.get("PUZZLE_ATTENTION_ALGO", "xla")
 
+# conv dispatch: "auto" (Pallas batch-in-lanes kernel for small-output-channel
+# stride-1 bf16 convs - e.g. backward-data - where it measures ~4x over XLA's
+# channels-last lowering; XLA otherwise), "xla", or "pallas" (force).
+convAlgo = os.environ.get("PUZZLE_CONV_ALGO", "auto")
+
 
 def isCPUBased(bnd):
     return bnd == Backend.cpu

@@ -19,6 +19,7 @@ import json
 import os
 
 import numpy as np
+import ml_dtypes  # noqa: F401  (registers bfloat16/fp8 dtype names with numpy)
 import h5py
 
 
@@ -48,6 +49,28 @@ def snapshot(hdf):
     return bytes(hdf.id.get_file_image())
 
 
+def _writeDataset(grp, name, value, compress):
+    """Create a dataset, tagging extension dtypes (bfloat16/fp8 - HDF5 has no
+    native type for them, h5py round-trips opaque void) so fetch can restore
+    the true dtype from the ``dtype`` attribute."""
+    ds = grp.create_dataset(name, data=value, compression=compress)
+
+    if value.dtype.kind == "V" and value.dtype.names is None:
+        ds.attrs["dtype"] = value.dtype.name
+
+    return ds
+
+
+def _readDataset(ds):
+    value = np.asarray(ds)
+    tag = ds.attrs.get("dtype")
+
+    if tag is not None and value.dtype.kind == "V":
+        value = value.view(np.dtype(tag))
+
+    return value
+
+
 def storeParam(hdf, path, var, varlinks, compress="gzip"):
     """Write one variable under ``links/<path>``, deduplicating shared
     variables (tied weights) by object identity through ``varlinks``."""
@@ -56,7 +79,7 @@ def storeParam(hdf, path, var, varlinks, compress="gzip"):
     if slot is None:
         slot = len(varlinks)
         varlinks[var] = slot
-        hdf.require_group("params").create_dataset(str(slot), data=var.data.get(), compression=compress)
+        _writeDataset(hdf.require_group("params"), str(slot), var.data.get(), compress)
 
     hdf.require_group("links")[path] = slot
 
@@ -64,7 +87,7 @@ def storeParam(hdf, path, var, varlinks, compress="gzip"):
 def fetchParam(hdf, path):
     """Resolve ``links/<path>`` to its parameter tensor."""
     slot = hdf["links"][path][()]
-    return np.asarray(hdf["params"][str(slot)])
+    return _readDataset(hdf["params"][str(slot)])
 
 
 def storeAttrs(hdf, entries, compress="gzip", group="attrs"):
@@ -75,11 +98,11 @@ def storeAttrs(hdf, entries, compress="gzip", group="attrs"):
     grp = hdf.require_group(group)
     for name, value in entries.items():
         value = value.get() if hasattr(value, "get") else value
-        grp.create_dataset(name, data=value, compression=compress)
+        _writeDataset(grp, name, value, compress)
 
 
 def fetchAttr(hdf, name, group="attrs"):
-    return np.asarray(hdf[group][name])
+    return _readDataset(hdf[group][name])
 
 
 def storeBlueprint(hdf, blueprint):

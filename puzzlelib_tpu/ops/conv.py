@@ -48,6 +48,43 @@ def _useChannelsLast(dtype):
     return jnp.dtype(dtype).itemsize < 4 and jax.default_backend() != "cpu"
 
 
+_pallasFailed = set()
+
+
+def _tryPallas(x, w, stride, pad, dilation, groups):
+    """Batch-in-lanes Pallas kernel for the shapes where it beats XLA:
+    small output-channel stride-1 bf16 convs (XLA's channels-last lowering
+    wastes output lanes there; the HCWN kernel keeps the batch in lanes and
+    is immune).  Returns None when not applicable."""
+    from puzzlelib_tpu import config as Config
+
+    algo = getattr(Config, "convAlgo", "auto")
+    if algo == "xla" or jax.default_backend() == "cpu":
+        return None
+
+    if x.dtype != jnp.bfloat16 or w.dtype != jnp.bfloat16:
+        return None
+
+    co = w.shape[0]
+    if algo != "pallas" and (co > 48 or x.shape[0] < 96):
+        return None
+
+    from puzzlelib_tpu.ops.pallas import conv as pconv
+
+    if not pconv.applicable(x.shape, w.shape, stride, pad, dilation, groups):
+        return None
+
+    key = (x.shape, w.shape, tuple(pad), str(x.dtype))
+    if key in _pallasFailed:
+        return None
+
+    try:
+        return pconv.conv2d(x, w, tuple(pad))
+    except Exception:
+        _pallasFailed.add(key)
+        return None
+
+
 def _toNhwc(x):
     nd = x.ndim - 2
     return jnp.transpose(x, (0, ) + tuple(range(2, 2 + nd)) + (1, ))
@@ -60,6 +97,12 @@ def _fromNhwc(x):
 
 def _convCore(x, w, stride, pad, dilation, groups):
     nd = x.ndim - 2
+
+    if nd == 2:
+        out = _tryPallas(x, w, stride, pad, dilation, groups)
+
+        if out is not None:
+            return out
 
     if _useChannelsLast(x.dtype):
         out = lax.conv_general_dilated(
@@ -194,6 +237,17 @@ def _transposedConv(y, w, stride, pad, dilation, adj, groups):
 
     spatialAxes = tuple(range(2, 2 + nd))
     wT = jnp.flip(w, spatialAxes).swapaxes(0, 1)  # (inmaps//groups, outmaps, *size)
+
+    # stride-1 transposed conv IS a plain conv of y with the flipped kernel:
+    # route through _convCore so it reaches the Pallas small-CO kernel
+    if (all(s == 1 for s in stride) and all(a == 0 for a in adj) and groups == 1
+            and all(dilation[i] * (size[i] - 1) >= pad[i] for i in range(nd))):
+        return _convCore(
+            y, wT,
+            (1, ) * nd,
+            tuple(dilation[i] * (size[i] - 1) - pad[i] for i in range(nd)),
+            dilation, 1,
+        )
 
     padding = tuple(
         (dilation[i] * (size[i] - 1) - pad[i],

@@ -90,3 +90,34 @@ def testConvBnBlueprint(tmp_path):
     net.evalMode()
 
     assert np.allclose(net(data).get(), rebuilt(data).get(), atol=1e-5)
+
+
+def testBf16CheckpointRoundTrip(tmp_path):
+    """bfloat16 params survive save/load: HDF5 has no native bf16, so the
+    codec stores opaque bytes tagged with a ``dtype`` attribute."""
+    import ml_dtypes
+
+    bf16 = np.dtype(ml_dtypes.bfloat16).type
+    np.random.seed(4)
+
+    def build():
+        net = Sequential()
+        net.append(Conv2D(3, 8, 3, pad=1, name="conv"))
+        net.append(Linear(8 * 36, 4, name="fc2d"))
+        return net
+
+    net = build()
+    net.calcMode(bf16)
+
+    path = str(tmp_path / "bf16.hdf")
+    net.save(path)
+
+    other = build()
+    other.calcMode(bf16)
+    other.load(path)
+
+    for mod in ("conv", "fc2d"):
+        assert other[mod].W.dtype == np.dtype(bf16)
+        assert np.array_equal(
+            net[mod].W.get().view(np.uint16), other[mod].W.get().view(np.uint16),
+        )

@@ -48,20 +48,23 @@ class MultiHeadAttention(Module):
             else [None] * 4
         return ws, bs
 
-    def updateData(self, data):
-        (wq, wk, wv, wo), (bq, bk, bv, bo) = self._weights()
-
-        # flash kernel: inference forward only, and only where Pallas compiles
-        # (CPU supports interpret mode only -> fall back to the XLA path)
-        algo = self.attnAlgo if not self.train else "xla"
+    def _algo(self):
+        # the flash kernel needs a real TPU to compile (CPU supports interpret
+        # mode only -> fall back to the XLA path); training uses the kernel's
+        # custom VJP (blockwise flash backward)
+        algo = self.attnAlgo
         if algo == "flash":
             import jax
             if jax.devices()[0].platform == "cpu":
                 algo = "xla"
+        return algo
+
+    def updateData(self, data):
+        (wq, wk, wv, wo), (bq, bk, bv, bo) = self._weights()
 
         self.data = gpuarray.GPUArray(attnops.mhaForward(
             data.jax, wq, wk, wv, wo, bq, bk, bv, bo,
-            nheads=self.nheads, causal=self.causal, algo=algo
+            nheads=self.nheads, causal=self.causal, algo=self._algo()
         ))
         # any cached backward belongs to the previous forward
         self._vjpCache, self._vjpGradId = None, None
@@ -74,7 +77,7 @@ class MultiHeadAttention(Module):
             (wq, wk, wv, wo), (bq, bk, bv, bo) = self._weights()
             self._vjpCache = attnops.mhaBackward(
                 self.inData.jax, wq, wk, wv, wo, bq, bk, bv, bo, grad.jax,
-                nheads=self.nheads, causal=self.causal
+                nheads=self.nheads, causal=self.causal, algo=self._algo()
             )
             self._vjpGradId = id(grad.jax)
 

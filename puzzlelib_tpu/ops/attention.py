@@ -74,9 +74,12 @@ def mhaForward(x, wq, wk, wv, wo, bq, bk, bv, bo, nheads, causal=False, algo="xl
     return y
 
 
-@partial(jax.jit, static_argnames=("nheads", "causal"))
-def mhaBackward(x, wq, wk, wv, wo, bq, bk, bv, bo, grad, nheads, causal=False):
-    """VJP of the full MHA block wrt input and every weight/bias."""
+@partial(jax.jit, static_argnames=("nheads", "causal", "algo"))
+def mhaBackward(x, wq, wk, wv, wo, bq, bk, bv, bo, grad, nheads, causal=False, algo="xla"):
+    """VJP of the full MHA block wrt input and every weight/bias.
+
+    ``algo="flash"`` differentiates through the Pallas kernel, whose
+    custom VJP runs the blockwise flash backward."""
     hasB = bq is not None
 
     def fwd(xx, *params):
@@ -86,7 +89,7 @@ def mhaBackward(x, wq, wk, wv, wo, bq, bk, bv, bo, grad, nheads, causal=False):
             wq_, wk_, wv_, wo_ = params
             bq_ = bk_ = bv_ = bo_ = None
 
-        return mhaForward(xx, wq_, wk_, wv_, wo_, bq_, bk_, bv_, bo_, nheads, causal, "xla")
+        return mhaForward(xx, wq_, wk_, wv_, wo_, bq_, bk_, bv_, bo_, nheads, causal, algo)
 
     params = (wq, wk, wv, wo) + ((bq, bk, bv, bo) if hasB else ())
     _, vjp = jax.vjp(fwd, x, *params)

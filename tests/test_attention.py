@@ -25,6 +25,29 @@ def testFlashMatchesXla(causal):
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def testFlashBackwardMatchesXlaVjp(causal):
+    """The custom VJP (Pallas flash backward, blockwise recompute) against the
+    XLA attention VJP; self-attention lengths."""
+    import jax
+
+    np.random.seed(4)
+
+    b, h, s, d = 2, 3, 64, 16
+    q = jnp.asarray(np.random.randn(b, h, s, d).astype(np.float32))
+    k = jnp.asarray(np.random.randn(b, h, s, d).astype(np.float32))
+    v = jnp.asarray(np.random.randn(b, h, s, d).astype(np.float32))
+    do = jnp.asarray(np.random.randn(b, h, s, d).astype(np.float32))
+
+    out, vjp = jax.vjp(lambda a, bb, c: flashAttention(a, bb, c, causal, 32, 16, True), q, k, v)
+    ref, refVjp = jax.vjp(lambda a, bb, c: attention(a, bb, c, causal=causal), q, k, v)
+
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+    for g, r in zip(vjp(do), refVjp(do)):
+        assert np.allclose(np.asarray(g), np.asarray(r), atol=2e-2)
+
+
 def testMhaGradients():
     np.random.seed(1)
 

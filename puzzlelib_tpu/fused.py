@@ -219,6 +219,7 @@ class FusedStep:
             jitKwargs["out_shardings"] = stateSpec
 
         self.mesh = mesh
+        self._dpSize = mesh.shape[dataAxis] if mesh is not None else 1
         self._jitted = jax.jit(self._traceStep, **jitKwargs)
 
         manyKwargs = dict(jitKwargs)
@@ -230,6 +231,15 @@ class FusedStep:
             manyKwargs["in_shardings"] = (
                 jitKwargs["in_shardings"][0], None, repl, repl, stepSharded, stepSharded
             )
+
+            # ragged-batch fallback: a batch that does not divide over the data
+            # axis runs with replicated inputs (identical numerics, no DP split)
+            # - typically only the leftover batch of an epoch
+            raggedIn = (jitKwargs["in_shardings"][0], None, repl, repl, repl, repl)
+            self._jittedRagged = jax.jit(
+                self._traceStep, **{**jitKwargs, "in_shardings": raggedIn})
+            self._jittedManyRagged = jax.jit(
+                self._traceMany, **{**manyKwargs, "in_shardings": raggedIn})
 
         self._jittedMany = jax.jit(self._traceMany, **manyKwargs)
         self._seed = int(np.random.randint(1 << 31))
@@ -332,7 +342,9 @@ class FusedStep:
         state = [buf.jax for buf in self.buffers]
         key = jax.random.fold_in(jax.random.key(self._seed), self._calls)
 
-        out = self._jittedMany(state, self._hyper(), jnp.asarray(t0, jnp.float32), key, data, target)
+        fn = self._jittedManyRagged if self._dpSize > 1 and data.shape[1] % self._dpSize \
+            else self._jittedMany
+        out = fn(state, self._hyper(), jnp.asarray(t0, jnp.float32), key, data, target)
 
         for buf, arr in zip(self.buffers, out):
             buf._write(arr)
@@ -357,7 +369,9 @@ class FusedStep:
 
         key = jax.random.fold_in(jax.random.key(self._seed), self._calls)
 
-        out = self._jitted(state, hyper, jnp.asarray(self.optimizer.t, jnp.float32), key, data, target)
+        fn = self._jittedRagged if self._dpSize > 1 and data.shape[0] % self._dpSize \
+            else self._jitted
+        out = fn(state, hyper, jnp.asarray(self.optimizer.t, jnp.float32), key, data, target)
 
         for buf, arr in zip(self.buffers, out):
             buf._write(arr)

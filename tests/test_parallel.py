@@ -230,3 +230,56 @@ def testFusedZeroOptimizerSharding():
         stepS(data, target)
 
     assert np.allclose(seq[0].W.get(), seqS[0].W.get(), atol=1e-5), "ZeRO sharding changed numerics"
+
+
+def testFusedMeshRaggedBatch():
+    """A batch that does not divide over the data axis dispatches through the
+    replicated-input fallback and matches the single-device step exactly."""
+    import jax
+    from jax.sharding import Mesh
+
+    from puzzlelib_tpu.containers import Sequential
+    from puzzlelib_tpu.modules import Linear, Activation, relu
+    from puzzlelib_tpu.cost import MSE
+    from puzzlelib_tpu.optimizers import MomentumSGD
+    from puzzlelib_tpu.fused import FusedStep
+
+    ndev = len(jax.devices())
+    if ndev < 2:
+        return
+
+    mesh = Mesh(np.array(jax.devices()), axis_names=("data", ))
+
+    def build():
+        np.random.seed(17)
+        seq = Sequential()
+        seq.append(Linear(8, 6))
+        seq.append(Activation(relu))
+        seq.append(Linear(6, 4))
+        return seq
+
+    np.random.seed(11)
+    batch = 2 * ndev + 3                       # not divisible by ndev
+    data = np.random.randn(batch, 8).astype(np.float32)
+    target = np.random.randn(batch, 4).astype(np.float32)
+
+    seq = build()
+    opt = MomentumSGD(learnRate=0.05)
+    opt.setupOn(seq, useGlobalState=True)
+    cost = MSE()
+    step = FusedStep(seq, cost, opt, mesh=mesh)
+
+    step(data, target)
+    err = cost.getMeanError()
+
+    seqS = build()
+    optS = MomentumSGD(learnRate=0.05)
+    optS.setupOn(seqS, useGlobalState=True)
+    costS = MSE()
+    stepS = FusedStep(seqS, costS, optS)
+
+    stepS(data, target)
+
+    assert np.isfinite(err)
+    assert np.allclose(seq[0].W.get(), seqS[0].W.get(), atol=1e-5)
+    assert abs(err - costS.getMeanError()) < 1e-5

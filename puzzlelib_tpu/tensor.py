@@ -27,12 +27,20 @@ import jax.numpy as jnp
 from puzzlelib_tpu import config as Config
 
 
+def _traceAlloc(ary):
+    # alloc-trace tier: no-op unless profiler.startTraceMalloc() is active
+    from puzzlelib_tpu import profiler
+
+    if profiler.tracingAllocs:
+        profiler.recordAlloc(ary)
+
+
 def _unwrap(value):
     return value.jax if isinstance(value, GPUArray) else value
 
 
 class GPUArray:
-    __slots__ = ("_buf", "_version")
+    __slots__ = ("_buf", "_version", "__weakref__")
 
     def __init__(self, arr):
         self._buf = arr
@@ -204,10 +212,9 @@ class GPUArray:
 
     @classmethod
     def toGpu(cls, ary, allocator=None):
-        if isinstance(ary, GPUArray):
-            return cls(ary.jax)
-
-        return cls(jnp.asarray(ary))
+        out = cls(ary.jax) if isinstance(ary, GPUArray) else cls(jnp.asarray(ary))
+        _traceAlloc(out)
+        return out
 
     @classmethod
     def empty(cls, shape, dtype=np.float32, allocator=None):
@@ -218,14 +225,19 @@ class GPUArray:
             import jax.numpy as _jnp
             poison = (np.nan if _jnp.issubdtype(dtype, _jnp.floating)
                       else np.iinfo(dtype).max if dtype.kind in "iu" else 0)
-            return cls(jnp.full(shape, poison, dtype))
+            out = cls(jnp.full(shape, poison, dtype))
+        else:
+            out = cls(jnp.zeros(shape, dtype))
 
-        return cls(jnp.zeros(shape, dtype))
+        _traceAlloc(out)
+        return out
 
     @classmethod
     def zeros(cls, shape, dtype=np.float32, allocator=None):
         shape = (shape, ) if isinstance(shape, int) else tuple(shape)
-        return cls(jnp.zeros(shape, np.dtype(dtype)))
+        out = cls(jnp.zeros(shape, np.dtype(dtype)))
+        _traceAlloc(out)
+        return out
 
     @staticmethod
     def min(ary):

@@ -10,7 +10,15 @@ with the same debug tiers:
   * ``jax_debug_nans`` turns silent NaNs into immediate errors (optional);
   * gc uncollectable-object reporting.
 
-Usage: ``python -m puzzlelib_tpu.unittester [pytest args...]``
+Reference parity (Unittester.py:13-45,114-172): a retry threshold reruns
+failed tests (stochastic inits can fail a tolerance once without the op being
+wrong), and a per-backend exclusion matrix records which files a backend
+cannot run — here the single-chip TPU relay cannot host the 8-virtual-device
+mesh suites, and its minutes-long remote compiles make the benchmark CLI
+tests time out.
+
+Usage: ``python -m puzzlelib_tpu.unittester [--backend cpu|tpu]
+[--threshold N] [pytest args...]``
 """
 
 import gc
@@ -18,20 +26,50 @@ import os
 import sys
 
 
-def main(extraArgs=None):
-    # force the CPU oracle explicitly: `python -m` imports the package (and
-    # config reads PUZZLE_BACKEND) before this function runs, and the shell
-    # may export JAX_PLATFORMS=axon — setdefault alone would silently leave
-    # the tests running through the TPU relay (1 device, minutes per compile)
-    os.environ["PUZZLE_BACKEND"] = "cpu"
-    os.environ["JAX_PLATFORMS"] = "cpu"
+# capability matrix: test files a backend cannot run, with the reason
+EXCLUDE = {
+    "cpu": set(),
+    "tpu": {
+        "test_parallel.py",      # needs the 8-virtual-device CPU mesh
+        "test_pipeline.py",      # shard_map over >=2 devices
+        "test_seqparallel.py",   # shard_map over >=2 devices
+        "test_moe.py",           # expert mesh over >=2 devices
+        "test_benchmarks.py",    # CLI subprocess timeouts under remote compile
+        "test_reference_parity.py",  # runs the reference's numpy CPU backend
+    },
+}
 
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+THRESHOLD = 3   # reruns of failed tests before declaring failure
+
+
+def main(extraArgs=None):
+    args = list(extraArgs) if extraArgs is not None else sys.argv[1:]
+
+    backend, threshold = "cpu", THRESHOLD
+    if "--backend" in args:
+        i = args.index("--backend")
+        backend = args[i + 1]
+        del args[i:i + 2]
+    if "--threshold" in args:
+        i = args.index("--threshold")
+        threshold = int(args[i + 1])
+        del args[i:i + 2]
+
+    if backend == "cpu":
+        # force the CPU oracle explicitly: `python -m` imports the package (and
+        # config reads PUZZLE_BACKEND) before this function runs, and the shell
+        # may export JAX_PLATFORMS=axon — setdefault alone would silently leave
+        # the tests running through the TPU relay (1 device, minutes per compile)
+        os.environ["PUZZLE_BACKEND"] = "cpu"
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
     from puzzlelib_tpu import config as Config
-    Config.backend = Config.Backend.cpu
+    if backend == "cpu":
+        Config.backend = Config.Backend.cpu
     Config.debugAllocator = True
 
     gc.set_debug(gc.DEBUG_UNCOLLECTABLE)
@@ -39,9 +77,19 @@ def main(extraArgs=None):
     import pytest
 
     testdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
-    args = [testdir, "-q"] + (extraArgs if extraArgs is not None else sys.argv[1:])
 
-    code = pytest.main(args)
+    skips = ["--ignore=%s" % os.path.join(testdir, name)
+             for name in sorted(EXCLUDE.get(backend, ()))]
+
+    code = pytest.main([testdir, "-q"] + skips + args)
+
+    # retry tier: stochastic tolerances get `threshold` chances, matching the
+    # reference's per-module retry loop
+    attempt = 1
+    while code not in (0, 5) and attempt < threshold:
+        attempt += 1
+        print("unittester: rerunning failed tests (attempt %d/%d)" % (attempt, threshold))
+        code = pytest.main([testdir, "-q", "--last-failed"] + skips + args)
 
     if gc.garbage:
         print("Uncollectable objects: %d" % len(gc.garbage))

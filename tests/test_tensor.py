@@ -129,3 +129,36 @@ def testRngFill():
 
     gpuarray.fillNormal(data, 0.0, 1.0)
     assert abs(data.get().mean()) < 0.3
+
+
+def testTraceMallocTier():
+    """Alloc-trace tier: live-allocation registry with caller attribution and
+    leak count (TraceMalloc equivalent; reference Compiler/Codegen/Malloc)."""
+    import gc
+
+    from puzzlelib_tpu import profiler
+    from puzzlelib_tpu.backend import gpuarray
+
+    profiler.startTraceMalloc()
+    try:
+        a = gpuarray.empty((4, 4))
+        b = gpuarray.zeros((8, ))
+        c = gpuarray.to_gpu(np.ones((2, 2), np.float32))
+        assert profiler.traceLeaks() == 3
+
+        del b
+        gc.collect()
+        assert profiler.traceLeaks() == 2
+
+        report = profiler.liveAllocations()
+        assert report[0][0] == 64 and report[0][1] == (4, 4)
+        assert "test_tensor" in report[0][3]
+        assert "64" in profiler.formatAllocReport()
+    finally:
+        final = profiler.stopTraceMalloc()
+
+    assert len(final) == 2
+
+    d = gpuarray.empty((4, ))
+    assert profiler.traceLeaks() == 2, "tracing recorded while stopped"
+    del a, c, d

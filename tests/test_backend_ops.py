@@ -324,3 +324,120 @@ def testDepthConcat():
 
     grads = Memory.depthSplit(out, [gpuarray.to_gpu(a), gpuarray.to_gpu(b)])
     assert np.allclose(grads[0].get(), a) and np.allclose(grads[1].get(), b)
+
+
+def testConvBackwardExactOracle():
+    """conv bwd-data / bwd-filter against exact float64 loop oracles at the
+    BASELINE 1e-4 tolerance (finite differences above only reach ~1e-2)."""
+    np.random.seed(40)
+
+    n, c, h, w = 2, 3, 8, 9
+    co, kh, kw = 4, 3, 3
+    stride, pad = (2, 1), (1, 1)
+
+    x = np.random.randn(n, c, h, w).astype(np.float32)
+    W = np.random.randn(co, c, kh, kw).astype(np.float32)
+
+    oh = (h + 2 * pad[0] - kh) // stride[0] + 1
+    ow = (w + 2 * pad[1] - kw) // stride[1] + 1
+    grad = np.random.randn(n, co, oh, ow).astype(np.float32)
+
+    x64 = np.pad(x.astype(np.float64), ((0, 0), (0, 0), (pad[0], pad[0]), (pad[1], pad[1])))
+    W64, g64 = W.astype(np.float64), grad.astype(np.float64)
+
+    dxPad = np.zeros_like(x64)
+    dW = np.zeros_like(W64)
+
+    for oy in range(oh):
+        for ox in range(ow):
+            patch = x64[:, :, oy * stride[0]:oy * stride[0] + kh, ox * stride[1]:ox * stride[1] + kw]
+            go = g64[:, :, oy, ox]                           # (n, co)
+            dxPad[:, :, oy * stride[0]:oy * stride[0] + kh,
+                  ox * stride[1]:ox * stride[1] + kw] += np.einsum("no,ochw->nchw", go, W64)
+            dW += np.einsum("no,nchw->ochw", go, patch)
+
+    dxRef = dxPad[:, :, pad[0]:pad[0] + h, pad[1]:pad[1] + w]
+
+    dx = Dnn.convNdBackwardData(gpuarray.to_gpu(grad), gpuarray.to_gpu(W), gpuarray.to_gpu(x),
+                                stride, pad, (1, 1), 1)
+    dwOut = Dnn.convNdBackwardParams(gpuarray.to_gpu(x), gpuarray.to_gpu(grad), gpuarray.to_gpu(W),
+                                     None, stride, pad, (1, 1), 1)
+
+    assert np.abs(dx.get() - dxRef).max() < 1e-4
+    assert np.abs(dwOut.get() - dW).max() < 1e-4
+
+
+def testPoolBackwardExactOracle():
+    """max/avg pool backward against float64 scatter oracles at 1e-4."""
+    np.random.seed(41)
+
+    n, c, h, w = 2, 3, 7, 8
+    size, stride, pad = (2, 2), (2, 2), (0, 0)
+
+    x = np.random.randn(n, c, h, w).astype(np.float32)
+    oh, ow = (h - size[0]) // stride[0] + 1, (w - size[1]) // stride[1] + 1
+    grad = np.random.randn(n, c, oh, ow).astype(np.float32)
+
+    x64, g64 = x.astype(np.float64), grad.astype(np.float64)
+
+    dxMax = np.zeros_like(x64)
+    dxAvg = np.zeros_like(x64)
+
+    for oy in range(oh):
+        for ox in range(ow):
+            win = x64[:, :, oy * 2:oy * 2 + 2, ox * 2:ox * 2 + 2].reshape(n, c, 4)
+            arg = win.argmax(axis=2)
+            for i in range(n):
+                for j in range(c):
+                    dy, dx_ = divmod(arg[i, j], 2)
+                    dxMax[i, j, oy * 2 + dy, ox * 2 + dx_] += g64[i, j, oy, ox]
+            dxAvg[:, :, oy * 2:oy * 2 + 2, ox * 2:ox * 2 + 2] += g64[:, :, oy, ox, None, None] / 4.0
+
+    gMax = Dnn.poolNdBackward(gpuarray.to_gpu(x), None, gpuarray.to_gpu(grad), None,
+                              size, stride, pad, mode=Dnn.PoolMode.max)
+    gAvg = Dnn.poolNdBackward(gpuarray.to_gpu(x), None, gpuarray.to_gpu(grad), None,
+                              size, stride, pad, mode=Dnn.PoolMode.avgWithPad)
+
+    assert np.abs(gMax.get() - dxMax).max() < 1e-4
+    assert np.abs(gAvg.get() - dxAvg).max() < 1e-4
+
+
+def testBatchNormBackwardExactOracle():
+    """spatial batch-norm backward against the closed-form float64 oracle at 1e-4."""
+    np.random.seed(42)
+
+    n, c, h, w = 3, 4, 5, 5
+    eps = 1e-5
+
+    x = np.random.randn(n, c, h, w).astype(np.float32)
+    grad = np.random.randn(n, c, h, w).astype(np.float32)
+    scaleH = np.random.rand(c).astype(np.float32) + 0.5
+
+    shape = (1, c, 1, 1)
+    scale = gpuarray.to_gpu(scaleH.reshape(shape))
+    bias = gpuarray.to_gpu(np.zeros(shape, np.float32))
+    mean = gpuarray.to_gpu(np.zeros(shape, np.float32))
+    var = gpuarray.to_gpu(np.ones(shape, np.float32))
+
+    out, savemean, saveinvvar = Dnn.batchNormNd(gpuarray.to_gpu(x), scale, bias, mean, var,
+                                                eps, 0.1, False)
+
+    dx, dscale, dbias = Dnn.batchNormNdBackward(gpuarray.to_gpu(x), gpuarray.to_gpu(grad),
+                                                scale, savemean, saveinvvar, eps)
+
+    x64, g64 = x.astype(np.float64), grad.astype(np.float64)
+    m = x64.mean(axis=(0, 2, 3))
+    v = x64.var(axis=(0, 2, 3))
+    inv = 1.0 / np.sqrt(v + eps)
+    xhat = (x64 - m[None, :, None, None]) * inv[None, :, None, None]
+
+    N = n * h * w
+    dsc = (g64 * xhat).sum(axis=(0, 2, 3))
+    dbi = g64.sum(axis=(0, 2, 3))
+    dxRef = (scaleH.astype(np.float64) * inv)[None, :, None, None] / N * (
+        N * g64 - dbi[None, :, None, None] - xhat * dsc[None, :, None, None]
+    )
+
+    assert np.abs(dx.get() - dxRef).max() < 1e-4
+    assert np.abs(dscale.get().ravel() - dsc).max() < 1e-4
+    assert np.abs(dbias.get().ravel() - dbi).max() < 1e-4

@@ -307,3 +307,86 @@ def testRealDataAccuracyParity(ref):
 
     assert ourAcc >= 0.90, "did not learn: %.3f" % ourAcc
     assert abs(refAcc - ourAcc) <= 0.02, (refAcc, ourAcc)
+
+
+def _randomizeState(net, rng):
+    """Deterministically fill every parameter and stat attribute of a
+    reference-or-ours net (builders use initscheme='none' = uninitialized)."""
+    def walk(mod):
+        for name, var in getattr(mod, "vars", {}).items():
+            data = rng.normal(scale=0.05, size=var.data.shape).astype(np.float32)
+            var.data.set(data)
+
+        for name, attr in getattr(mod, "attrs", {}).items():
+            if "var" in name:
+                data = rng.uniform(0.5, 1.5, size=attr.shape).astype(np.float32)
+            else:
+                data = rng.normal(scale=0.05, size=attr.shape).astype(np.float32)
+            attr.set(data)
+
+        for child in getattr(mod, "modules", {}).values():
+            walk(child)
+
+    walk(net)
+
+
+@pytest.mark.parametrize("which", ["nin", "resnet50", "openposecoco", "openposempi"])
+def testModelZooNumericParity(ref, which):
+    """Zoo builders against the reference CPU backend on one shared random
+    checkpoint: forward agreement at 1e-4 (the shape-only zoo tests cannot
+    catch weight-layout or plumbing regressions; this does).
+
+    MiniYolo/UNet are omitted: the reference CPU backend cannot forward them
+    (mid-net SoftMax / unbound conv kernels), so no oracle exists there.
+    """
+    import importlib
+
+    np.random.seed(16)
+    rng = np.random.RandomState(16)
+
+    if which == "nin":
+        refMod = importlib.import_module("PuzzleLib.Models.Nets.NiN")
+        build = lambda m: m.loadNiNImageNet(None)
+        ours = importlib.import_module("puzzlelib_tpu.models.nets.nin")
+        x = np.random.randn(1, 3, 224, 224).astype(np.float32)
+        drop = 1                                   # reference CPU has no SoftMax kernel
+    elif which == "resnet50":
+        refMod = importlib.import_module("PuzzleLib.Models.Nets.ResNet")
+        build = lambda m: m.loadResNet(None, "50")
+        ours = importlib.import_module("puzzlelib_tpu.models.nets.resnet")
+        x = np.random.randn(1, 3, 224, 224).astype(np.float32)
+        drop = 1
+    elif which == "openposecoco":
+        refMod = importlib.import_module("PuzzleLib.Models.Nets.OpenPoseCOCO")
+        build = lambda m: m.loadCOCO(None)
+        ours = importlib.import_module("puzzlelib_tpu.models.nets.openposecoco")
+        x = np.random.randn(1, 3, 184, 184).astype(np.float32)
+        drop = 0
+    else:
+        refMod = importlib.import_module("PuzzleLib.Models.Nets.OpenPoseMPI")
+        build = lambda m: m.loadMPI(None)
+        ours = importlib.import_module("puzzlelib_tpu.models.nets.openposempi")
+        x = np.random.randn(1, 3, 184, 184).astype(np.float32)
+        drop = 0
+
+    refNet = build(refMod)
+    for _ in range(drop):
+        refNet.pop()
+
+    _randomizeState(refNet, rng)
+    image = refNet.save()
+
+    ourNet = build(ours)
+    for _ in range(drop):
+        ourNet.pop()
+    ourNet.load(image)
+
+    expect = _refForward(ref, refNet, x)
+    got = _ourForward(ourNet, x)
+
+    assert got.shape == expect.shape
+
+    # activations grow by orders of magnitude through 30+ random-weight convs
+    # (OpenPose reaches ~1e5), so the 1e-4 gate is relative to the output scale
+    err = float(np.abs(got - expect).max()) / max(1.0, float(np.abs(expect).max()))
+    assert err < ATOL, (which, err)

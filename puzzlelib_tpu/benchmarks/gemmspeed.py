@@ -30,13 +30,59 @@ def timeFn(fn, iters=20):
     return (time.perf_counter() - start) / iters
 
 
+def kernelRate(iters=4):
+    """Sustained kernel rate on one (8192, 65536) @ (65536, 8192) bf16 GEMM.
+
+    At K=65536 the HBM traffic (2.1 GB) amortises over 8.8 TFLOP of MXU work
+    (<1% of runtime), so this measures the kernel itself rather than the
+    memory system — the roofline-gate number.  Operands are generated
+    on-device (a 1 GB host upload through the relay takes minutes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from puzzlelib_tpu.ops.pallas import matmul as pm
+
+    m, n, k = 8192, 8192, 65536
+
+    kA, kB = jax.random.split(jax.random.key(0))
+    a = (jax.random.normal(kA, (m, k), jnp.float32) * 0.02).astype(jnp.bfloat16)
+    b = (jax.random.normal(kB, (k, n), jnp.float32) * 0.02).astype(jnp.bfloat16)
+    np.asarray(a.ravel()[:1])
+
+    flops = 2.0 * m * n * k
+    peak = PEAKS["bfloat16"]
+
+    # DEFAULT precision is exact for bf16 operands (one MXU pass, f32
+    # accumulate); the framework-wide "highest" would force multi-pass
+    xla = jax.jit(lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32,
+                                       precision=jax.lax.Precision.DEFAULT).astype(x.dtype))
+    sec = timeFn(lambda: xla(a, b), iters)
+    print("kernel-rate 8192x65536x8192 bf16 | xla    %7.2f TF/s (%4.1f%% peak)" % (
+        flops / sec / 1e12, 100 * flops / sec / peak))
+
+    sec = timeFn(lambda: pm.matmul(a, b, bm=1024, bn=1024, bk=512), iters)
+    print("kernel-rate 8192x65536x8192 bf16 | pallas %7.2f TF/s (%4.1f%% peak)" % (
+        flops / sec / 1e12, 100 * flops / sec / peak))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--sizes", default="1024,2048,4096")
     parser.add_argument("--dtypes", default="float32,bfloat16")
     parser.add_argument("--tune", action="store_true", help="print the full tile sweep")
+    parser.add_argument("--kernel-rate", action="store_true",
+                        help="huge-K single-GEMM sustained-rate measurement (the roofline gate)")
     parser.add_argument("--iters", type=int, default=20)
     args = parser.parse_args()
+
+    if args.kernel_rate:
+        from puzzlelib_tpu.backend.device import ensureInit
+        from puzzlelib_tpu.benchmarks import enableCompileCache
+
+        ensureInit()
+        enableCompileCache()
+        kernelRate(max(2, args.iters // 5))
+        return
 
     import jax
     import jax.numpy as jnp

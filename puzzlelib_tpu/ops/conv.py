@@ -53,9 +53,15 @@ _pallasFailed = set()
 
 def _tryPallas(x, w, stride, pad, dilation, groups):
     """Batch-in-lanes Pallas kernel for the shapes where it beats XLA:
-    small output-channel stride-1 bf16 convs (XLA's channels-last lowering
-    wastes output lanes there; the HCWN kernel keeps the batch in lanes and
-    is immune).  Returns None when not applicable."""
+
+    - small output-channel stride-1 bf16 convs (bwd-data geometry: XLA's
+      channels-last lowering wastes output lanes there, measured 4.3x), and
+    - large-kernel forwards (>= 9x9: measured 1.6x at the reference
+      ConvSpeed shape, where the kernel sustains ~87% of the bf16 roofline
+      net of the per-call dispatch cost).
+
+    Small-kernel (3x3) forwards stay on XLA, which ties or wins there.
+    Returns None when not applicable."""
     from puzzlelib_tpu import config as Config
 
     algo = getattr(Config, "convAlgo", "auto")
@@ -66,7 +72,10 @@ def _tryPallas(x, w, stride, pad, dilation, groups):
         return None
 
     co = w.shape[0]
-    if algo != "pallas" and (co > 48 or x.shape[0] < 96):
+    smallCo = co <= 48 and x.shape[0] >= 96
+    bigKernel = len(w.shape) == 4 and w.shape[2] * w.shape[3] >= 81 and x.shape[0] >= 96
+
+    if algo != "pallas" and not (smallCo or bigKernel):
         return None
 
     from puzzlelib_tpu.ops.pallas import conv as pconv

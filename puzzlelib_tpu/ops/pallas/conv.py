@@ -39,9 +39,9 @@ LANES = 128
 
 def _convKernel(xRef, wRef, outRef, xBuf, acc, sems, *,
                 th, owb, kh, kw, c, co, r, tin, lin, nOht, nOwt, outDtype, highPrec):
-    nb, t, q = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    nb, t, q, s = pl.program_id(0), pl.program_id(1), pl.program_id(2), pl.program_id(3)
 
-    linear = (nb * nOht + t) * nOwt + q
+    tile = (nb * nOht + t) * nOwt + q
     total = pl.num_programs(0) * nOht * nOwt
 
     kp = kh + r - 1                # staggered contraction depth (in rows of c)
@@ -53,40 +53,45 @@ def _convKernel(xRef, wRef, outRef, xBuf, acc, sems, *,
             sems.at[slot],
         )
 
-    slot = jax.lax.rem(linear, 2)
+    slot = jax.lax.rem(tile, 2)
 
-    @pl.when(linear == 0)
+    @pl.when((tile == 0) & (s == 0))
     def _():
         fetch(slot, nb, t, q).start()
 
     # prefetch the next tile into the other slot while this one computes
-    nxt = linear + 1
+    nxt = tile + 1
     qN = jax.lax.rem(nxt, nOwt)
     tN = jax.lax.rem(nxt // nOwt, nOht)
     nbN = nxt // (nOwt * nOht)
 
-    @pl.when(nxt < total)
+    @pl.when((nxt < total) & (s == 0))
     def _():
         fetch(1 - slot, nbN, tN, qN).start()
 
-    fetch(slot, nb, t, q).wait()
+    @pl.when(s == 0)
+    def _():
+        fetch(slot, nb, t, q).wait()
 
     prec = jax.lax.Precision.HIGHEST if highPrec else jax.lax.Precision.DEFAULT
 
     # r output rows per dot: wRef[j] is the r-way staggered filter (r*co, kp*c),
-    # so one MXU pass yields rows (oh..oh+r-1) x co at once
-    for ohloc in range(0, th, r):
-        for j in range(kw):
-            patch = xBuf[slot, pl.ds(ohloc * c, kp * c), pl.ds(j * LANES, owb * LANES)]
-            part = jnp.dot(wRef[j], patch, preferred_element_type=jnp.float32,
-                           precision=prec)
+    # so one MXU pass yields rows (oh..oh+r-1) x co at once; the grid's s axis
+    # walks the th/r output slabs of the tile, keeping the pipelined out block
+    # at (r*co, owb*128) - the small out footprint is what lets tall tiles fit
+    # VMEM (the halo reread shrinks with th)
+    ohloc = s * r
+    for j in range(kw):
+        patch = xBuf[slot, pl.ds(ohloc * c, kp * c), pl.ds(j * LANES, owb * LANES)]
+        part = jnp.dot(wRef[j], patch, preferred_element_type=jnp.float32,
+                       precision=prec)
 
-            if j == 0:
-                acc[...] = part
-            else:
-                acc[...] += part
+        if j == 0:
+            acc[...] = part
+        else:
+            acc[...] += part
 
-        outRef[0, pl.ds(ohloc * co, r * co), :] = acc[...].astype(outDtype)
+    outRef[0, :, :] = acc[...].astype(outDtype)
 
 
 @functools.partial(jax.jit, static_argnames=("kh", "kw", "c", "co", "oh", "ow",
@@ -117,13 +122,14 @@ def convHcwn(xT, wk, *, kh, kw, c, co, oh, ow, th, owb, r=1, interpret=False):
             th=th, owb=owb, kh=kh, kw=kw, c=c, co=co, r=r, tin=tin, lin=lin,
             nOht=nOht, nOwt=nOwt, outDtype=xT.dtype, highPrec=highPrec,
         ),
-        grid=(nb, nOht, nOwt),
+        grid=(nb, nOht, nOwt, th // r),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),        # x stays in HBM, manual DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),       # packed filter, resident
         ],
         out_specs=pl.BlockSpec(
-            (1, th * co, owb * LANES), lambda nbI, t, q: (nbI, t, q),
+            (1, r * co, owb * LANES),
+            lambda nbI, t, q, s: (nbI, t * (th // r) + s, q),
         ),
         out_shape=jax.ShapeDtypeStruct((nb, ohp * co, owp * LANES), xT.dtype),
         scratch_shapes=[
@@ -132,7 +138,7 @@ def convHcwn(xT, wk, *, kh, kw, c, co, oh, ow, th, owb, r=1, interpret=False):
             pltpu.SemaphoreType.DMA((2, )),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
@@ -145,7 +151,7 @@ def convHcwn(xT, wk, *, kh, kw, c, co, oh, ow, th, owb, r=1, interpret=False):
     )(xT, wk)
 
 
-def _tileParams(c, co, kh, kw, oh, ow, itemsize, r=1, vmemBudget=13 * 2 ** 20):
+def _tileParams(c, co, kh, kw, oh, ow, itemsize, r=1, vmemBudget=14 * 2 ** 20):
     """Pick (th, owb): the largest tiles whose working set fits VMEM."""
     best = None
 
@@ -159,7 +165,7 @@ def _tileParams(c, co, kh, kw, oh, ow, itemsize, r=1, vmemBudget=13 * 2 ** 20):
             kp = kh + r - 1
 
             vmem = (2 * tin * c * lin * itemsize            # x double buffer
-                    + 2 * th * co * owb * LANES * itemsize  # pipelined out block
+                    + 2 * r * co * owb * LANES * itemsize   # pipelined out slab
                     + r * co * owb * LANES * 4              # f32 accumulator
                     + kw * r * co * kp * c * itemsize)      # staggered filter
 
@@ -273,7 +279,7 @@ def conv2d(x, w, pad=(0, 0), th=None, owb=None, r=None, interpret=False):
 
 
 _tuned = {}
-_TH_CANDIDATES = (8, 6, 4, 3, 2)
+_TH_CANDIDATES = (18, 12, 9, 8, 6, 4, 3, 2)
 
 
 def autotune(xshape, wshape, pad=(0, 0), dtype=np.float32, iters=8):
@@ -306,10 +312,10 @@ def autotune(xshape, wshape, pad=(0, 0), dtype=np.float32, iters=8):
                 owb = -(-ow // nOwt)
                 tin, lin = th + kh - 1, (owb + kw - 1) * LANES
                 kp = kh + r - 1
-                vmem = (2 * tin * c * lin + 2 * th * co * owb * LANES) * itemsize \
+                vmem = (2 * tin * c * lin + 2 * r * co * owb * LANES) * itemsize \
                     + r * co * owb * LANES * 4 + kw * r * co * kp * c * itemsize
 
-                if vmem > 13 * 2 ** 20 or (r, th, owb) in seen:
+                if vmem > 14 * 2 ** 20 or (r, th, owb) in seen:
                     continue
                 seen.add((r, th, owb))
 

@@ -114,7 +114,9 @@ def main():
         optE.update()
         netE.reset()
 
-    eagerSec = timeSteps(eagerStep, lambda: np.asarray(netE[-1].b.jax), warmup=2, iters=5)
+    # the eager baseline pays the multi-ms relay dispatch on every op; two
+    # timed steps bound its wall-clock cost while the ~200x ratio stays stable
+    eagerSec = timeSteps(eagerStep, lambda: np.asarray(netE[-1].b.jax), warmup=1, iters=2)
 
     imagesPerSec = batch / fusedSec
 

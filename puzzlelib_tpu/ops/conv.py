@@ -73,7 +73,11 @@ def _tryPallas(x, w, stride, pad, dilation, groups):
 
     co = w.shape[0]
     smallCo = co <= 48 and x.shape[0] >= 96
-    bigKernel = len(w.shape) == 4 and w.shape[2] * w.shape[3] >= 81 and x.shape[0] >= 96
+    # XLA's channels-last conv is excellent once co fills the 128 lanes
+    # (measured 84-86% of peak on 7x7 co=128 OpenPose shapes); the HCWN
+    # kernel's edge is shapes where co leaves lanes idle
+    bigKernel = (len(w.shape) == 4 and w.shape[2] * w.shape[3] >= 81
+                 and co < 128 and x.shape[0] >= 96)
 
     if algo != "pallas" and not (smallCo or bigKernel):
         return None

@@ -132,7 +132,8 @@ def _accumulateParamGrads(dw, db, W, bias, wgrad, bgrad, scale, momentum):
     return outw if outb is None else (outw, outb)
 
 
-def convNdbenchmark(datashape, Wshape, stride, pad, dilation, groups, transpose=False):
+def convNdbenchmark(datashape, Wshape, stride, pad, dilation, groups, transpose=False,
+                    dtype=np.float32):
     """Time the three compiled conv kernels; returns (fwd, bwdFilter, bwdData)
     ConvPerf lists (one entry each: XLA picks the algorithm).
 
@@ -152,8 +153,8 @@ def convNdbenchmark(datashape, Wshape, stride, pad, dilation, groups, transpose=
         if _pconv.applicable(datashape, Wshape, stride, pad, dilation, groups):
             _pconv.autotune(datashape, Wshape, pad, dtype=jnp.bfloat16)
 
-    x = jax.numpy.zeros(datashape, np.float32)
-    w = jax.numpy.zeros(Wshape, np.float32)
+    x = jax.numpy.zeros(datashape, dtype)
+    w = jax.numpy.zeros(Wshape, dtype)
 
     fwd = lambda: _conv.convNd(x, w, None, stride, pad, dilation, groups, hasBias=False)
     grad = fwd()

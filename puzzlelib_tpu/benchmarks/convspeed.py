@@ -7,7 +7,61 @@ Prints per-direction timings and effective TFLOP/s on the current device.
 import numpy as np
 
 
-def main(datashape=(128, 32, 64, 64), Wshape=(64, 32, 11, 11), stride=1, pad=0):
+def chainRate(datashape=(128, 32, 64, 64), Wshape=(64, 32, 11, 11), pad=0, reps=48, iters=3):
+    """Kernel-rate mode: `reps` convs chained inside ONE jitted program with a
+    readback fence, so per-dispatch relay latency amortises away (the same
+    methodology as gemmspeed --kernel-rate).  bf16, fwd + bwd-data."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from puzzlelib_tpu.ops import conv as opsconv
+
+    n, cin, h, w = datashape
+    cout, _, kh, kw = Wshape
+    outh, outw = h + 2 * pad - kh + 1, w + 2 * pad - kw + 1
+    flops = 2.0 * n * cout * outh * outw * cin * kh * kw
+
+    kx, kw_ = jax.random.split(jax.random.key(0))
+    x = (jax.random.normal(kx, datashape, jnp.float32) * 0.1).astype(jnp.bfloat16)
+    wgt = (jax.random.normal(kw_, Wshape, jnp.float32) * 0.1).astype(jnp.bfloat16)
+    np.asarray(x.ravel()[:1])
+
+    def bench(convfn):
+        @jax.jit
+        def f(x, wgt):
+            acc = jnp.zeros((8, ), jnp.float32)
+            for i in range(reps):
+                out = convfn(x, wgt + jnp.bfloat16(i))
+                acc += out.ravel()[:8].astype(jnp.float32)
+            return acc
+
+        out = f(x, wgt)
+        np.asarray(out.ravel()[:1])
+
+        start = time.perf_counter()
+        for _ in range(iters):
+            out = f(x, wgt)
+        np.asarray(out.ravel()[:1])
+
+        return (time.perf_counter() - start) / iters / reps
+
+    nd = 2
+    sec = bench(lambda a, b: opsconv._convCore(a, b, (1, ) * nd, (pad, ) * nd, (1, ) * nd, 1))
+    print("fwd chain      %.6f secs  %8.2f TFLOP/s (%4.1f%% of bf16 peak)"
+          % (sec, flops / sec / 1e12, flops / sec / 197e12 * 100))
+
+    sec = bench(lambda a, b: opsconv.convNdBackwardData(
+        jnp.zeros((n, cout, outh, outw), jnp.bfloat16) + a.ravel()[0], b,
+        datashape, (1, ) * nd, (pad, ) * nd, (1, ) * nd, 1))
+    bwdFlops = 2.0 * n * cin * h * w * cout * kh * kw   # dgrad covers the full input
+    print("bwdData chain  %.6f secs  %8.2f TFLOP/s (%4.1f%% of bf16 peak)"
+          % (sec, bwdFlops / sec / 1e12, bwdFlops / sec / 197e12 * 100))
+
+
+def main(datashape=(128, 32, 64, 64), Wshape=(64, 32, 11, 11), stride=1, pad=0,
+         dtype=np.float32):
     from puzzlelib_tpu.backend.dnn import convNdbenchmark
     from puzzlelib_tpu.benchmarks import enableCompileCache
 
@@ -17,7 +71,7 @@ def main(datashape=(128, 32, 64, 64), Wshape=(64, 32, 11, 11), stride=1, pad=0):
     stride, pad, dilation = (stride, ) * nd, (pad, ) * nd, (1, ) * nd
 
     fwdResults, bwdParamsResults, bwdDataResults = convNdbenchmark(
-        datashape, Wshape, stride, pad, dilation, groups=1
+        datashape, Wshape, stride, pad, dilation, groups=1, dtype=dtype
     )
 
     n, cin, h, w = datashape
@@ -35,4 +89,19 @@ def main(datashape=(128, 32, 64, 64), Wshape=(64, 32, 11, 11), stride=1, pad=0):
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    import ml_dtypes
+
+    from puzzlelib_tpu.benchmarks import enableCompileCache
+
+    if "--chain" in sys.argv:
+        enableCompileCache()
+        chainRate()
+        sys.exit(0)
+
+    dt = np.float32
+    if "--dtype" in sys.argv:
+        name = sys.argv[sys.argv.index("--dtype") + 1]
+        dt = np.dtype(ml_dtypes.bfloat16) if name == "bfloat16" else np.dtype(name)
+
+    main(dtype=dt)

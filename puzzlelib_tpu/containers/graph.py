@@ -82,14 +82,22 @@ class Graph(Container):
     # -- forward / backward ------------------------------------------------------------
 
     def updateData(self, data):
-        for node, feed in zip(self.inputs, _aslist(data)):
+        feeds = _aslist(data)
+        if len(feeds) != len(self.inputs):
+            raise ContainerError("Graph expects %d inputs, got %d" % (len(self.inputs), len(feeds)))
+
+        for node, feed in zip(self.inputs, feeds):
             node.forward(feed)
 
         self.data = _single([node.data for node in self.outputs])
         self.clearTraverse()
 
     def backward(self, grad, updParamGrads=True, updGrad=True, scale=1.0, momentum=1.0):
-        for node, feed in zip(self.outputs, _aslist(grad)):
+        feeds = _aslist(grad)
+        if len(feeds) != len(self.outputs):
+            raise ContainerError("Graph expects %d output grads, got %d" % (len(self.outputs), len(feeds)))
+
+        for node, feed in zip(self.outputs, feeds):
             node.backward(feed, updParamGrads=updParamGrads, updGrad=updGrad,
                           scale=scale, momentum=momentum)
 

@@ -67,19 +67,20 @@ class MultiHeadAttention(Module):
             nheads=self.nheads, causal=self.causal, algo=self._algo()
         ))
         # any cached backward belongs to the previous forward
-        self._vjpCache, self._vjpGradId = None, None
+        self._vjpCache, self._vjpGradArr = None, None
 
     def _vjp(self, grad):
-        # cache keyed on the grad buffer identity: updateGrad and accGradParams
-        # share one backward per (forward, grad) pair, while a second backward
-        # with a different grad recomputes instead of returning stale values
-        if getattr(self, "_vjpCache", None) is None or self._vjpGradId != id(grad.jax):
+        # cache keyed on the grad array object itself (held strongly, so the
+        # identity cannot be recycled): updateGrad and accGradParams share one
+        # backward per (forward, grad) pair, while a second backward with a
+        # different grad recomputes instead of returning stale values
+        if getattr(self, "_vjpCache", None) is None or self._vjpGradArr is not grad.jax:
             (wq, wk, wv, wo), (bq, bk, bv, bo) = self._weights()
             self._vjpCache = attnops.mhaBackward(
                 self.inData.jax, wq, wk, wv, wo, bq, bk, bv, bo, grad.jax,
                 nheads=self.nheads, causal=self.causal, algo=self._algo()
             )
-            self._vjpGradId = id(grad.jax)
+            self._vjpGradArr = grad.jax
 
         return self._vjpCache
 

@@ -91,6 +91,13 @@ def _tryPallas(x, w, stride, pad, dilation, groups):
     if key in _pallasFailed:
         return None
 
+    # probe-compile the kernel for this signature first: Mosaic compiles when
+    # the ENCLOSING jit compiles, so a kernel compile failure would escape
+    # this try/except and crash the caller instead of falling back to XLA
+    if not pconv.probeCompile(x.shape, w.shape, tuple(pad), x.dtype):
+        _pallasFailed.add(key)
+        return None
+
     try:
         return pconv.conv2d(x, w, tuple(pad))
     except Exception:
@@ -152,23 +159,31 @@ def convNd(x, w, b, stride, pad, dilation, groups, hasBias=False):
 
 # -- bwd-filter: a convolution with batch and feature roles swapped ------------
 
-def _filterGradDense(x, grad, size, stride, pad, dilation):
-    """dW (outmaps, inmaps, *size): convolve x (batch role -> channels) with
-    grad as the kernel (contraction over the true batch), one fused conv.
-
-    Window strides take the forward dilation, rhs dilation takes the forward
-    stride, and the high padding is trimmed so the "output" spatial dims land
-    exactly on the filter size (recovers pixels lost to stride flooring).
-    """
+def _filterGradPadding(x, grad, size, stride, pad, dilation):
+    """High padding trimmed so the "output" spatial dims of the
+    batch-role-swapped conv land exactly on the filter size (recovers pixels
+    lost to the forward conv's stride flooring)."""
     nd = x.ndim - 2
-    spatial = "DHW"[3 - nd:]
 
-    padding = tuple(
+    return tuple(
         (pad[i],
          dilation[i] * (size[i] - 1) + stride[i] * (grad.shape[2 + i] - 1) + 1
          - x.shape[2 + i] - pad[i])
         for i in range(nd)
     )
+
+
+def _filterGradDense(x, grad, size, stride, pad, dilation):
+    """dW (outmaps, inmaps, *size): convolve x (batch role -> channels) with
+    grad as the kernel (contraction over the true batch), one fused conv.
+
+    Window strides take the forward dilation, rhs dilation takes the forward
+    stride; see ``_filterGradPadding`` for the trim.
+    """
+    nd = x.ndim - 2
+    spatial = "DHW"[3 - nd:]
+
+    padding = _filterGradPadding(x, grad, size, stride, pad, dilation)
 
     out = lax.conv_general_dilated(
         x, grad,
@@ -186,12 +201,7 @@ def _filterGradDenseNhwc(x, grad, size, stride, pad, dilation):
     nd = x.ndim - 2
     spatial = "DHW"[3 - nd:]
 
-    padding = tuple(
-        (pad[i],
-         dilation[i] * (size[i] - 1) + stride[i] * (grad.shape[2 + i] - 1) + 1
-         - x.shape[2 + i] - pad[i])
-        for i in range(nd)
-    )
+    padding = _filterGradPadding(x, grad, size, stride, pad, dilation)
 
     xl = jnp.transpose(x, (1, ) + tuple(range(2, 2 + nd)) + (0, ))      # (C, *sp, N)
     gl = jnp.transpose(grad, tuple(range(2, 2 + nd)) + (0, 1))          # (*sp, N, CO)
@@ -271,38 +281,37 @@ def _transposedConv(y, w, stride, pad, dilation, adj, groups):
     outmaps = y.shape[1]
     opg = outmaps // groups
 
+    if groups > 1:
+        # fold the per-group kernels into one OIHW kernel for
+        # feature_group_count: wT (cpg, outmaps, *size) regrouped to
+        # (groups*cpg, opg, *size) - a single conv, no per-group unroll
+        cpg = wT.shape[0]
+        wT = wT.reshape((cpg, groups, opg) + size).swapaxes(0, 1) \
+               .reshape((groups * cpg, opg) + size)
+
     if _useChannelsLast(y.dtype):
-        def oneGroup(yg, wg):
-            out = lax.conv_general_dilated(
-                _toNhwc(yg), jnp.transpose(wg, tuple(range(2, 2 + nd)) + (1, 0)),
-                window_strides=(1, ) * nd,
-                padding=padding,
-                lhs_dilation=stride,
-                rhs_dilation=dilation,
-                dimension_numbers=_channelsLastNumbers(nd),
-                preferred_element_type=jnp.float32,
-            )
-            return _fromNhwc(out)
-    else:
-        def oneGroup(yg, wg):
-            return lax.conv_general_dilated(
-                yg.astype(jnp.float32), wg.astype(jnp.float32),
-                window_strides=(1, ) * nd,
-                padding=padding,
-                lhs_dilation=stride,
-                rhs_dilation=dilation,
-                dimension_numbers=_dimNumbers(nd),
-            )
+        out = lax.conv_general_dilated(
+            _toNhwc(y), jnp.transpose(wT, tuple(range(2, 2 + nd)) + (1, 0)),
+            window_strides=(1, ) * nd,
+            padding=padding,
+            lhs_dilation=stride,
+            rhs_dilation=dilation,
+            dimension_numbers=_channelsLastNumbers(nd),
+            feature_group_count=groups,
+            preferred_element_type=jnp.float32,
+        )
+        return _fromNhwc(out).astype(y.dtype)
 
-    if groups == 1:
-        # kernel laid out (I, O, *size) -> swap to OIHW-style (I plays O)
-        return oneGroup(y, wT).astype(y.dtype)
-
-    parts = [
-        oneGroup(y[:, g * opg:(g + 1) * opg], wT[:, g * opg:(g + 1) * opg])
-        for g in range(groups)
-    ]
-    return jnp.concatenate(parts, axis=1).astype(y.dtype)
+    # kernel laid out (I, O, *size) -> swapped above, so I plays O
+    return lax.conv_general_dilated(
+        y.astype(jnp.float32), wT.astype(jnp.float32),
+        window_strides=(1, ) * nd,
+        padding=padding,
+        lhs_dilation=stride,
+        rhs_dilation=dilation,
+        dimension_numbers=_dimNumbers(nd),
+        feature_group_count=groups,
+    ).astype(y.dtype)
 
 
 def _strideAdjust(inspatial, size, stride, pad, dilation):

@@ -151,6 +151,19 @@ def convHcwn(xT, wk, *, kh, kw, c, co, oh, ow, th, owb, r=1, interpret=False):
     )(xT, wk)
 
 
+def _vmemBytes(c, co, kh, kw, th, owb, r, itemsize):
+    """Working-set bytes of one kernel invocation: x double buffer, pipelined
+    out slab, f32 accumulator, staggered filter.  Single source of truth for
+    both the tile picker and the autotuner."""
+    tin, lin = th + kh - 1, (owb + kw - 1) * LANES
+    kp = kh + r - 1
+
+    return (2 * tin * c * lin * itemsize
+            + 2 * r * co * owb * LANES * itemsize
+            + r * co * owb * LANES * 4
+            + kw * r * co * kp * c * itemsize)
+
+
 def _tileParams(c, co, kh, kw, oh, ow, itemsize, r=1, vmemBudget=14 * 2 ** 20):
     """Pick (th, owb): the largest tiles whose working set fits VMEM."""
     best = None
@@ -161,15 +174,8 @@ def _tileParams(c, co, kh, kw, oh, ow, itemsize, r=1, vmemBudget=14 * 2 ** 20):
 
         for nOwt in range(1, ow + 1):
             owb = -(-ow // nOwt)
-            tin, lin = th + kh - 1, (owb + kw - 1) * LANES
-            kp = kh + r - 1
 
-            vmem = (2 * tin * c * lin * itemsize            # x double buffer
-                    + 2 * r * co * owb * LANES * itemsize   # pipelined out slab
-                    + r * co * owb * LANES * 4              # f32 accumulator
-                    + kw * r * co * kp * c * itemsize)      # staggered filter
-
-            if vmem <= vmemBudget:
+            if _vmemBytes(c, co, kh, kw, th, owb, r, itemsize) <= vmemBudget:
                 waste = (-(-oh // th) * th / oh) * (nOwt * owb / ow)
                 cand = (waste, -th * owb, th, owb)
 
@@ -310,12 +316,9 @@ def autotune(xshape, wshape, pad=(0, 0), dtype=np.float32, iters=8):
 
             for nOwt in (1, 2, 3, 4):
                 owb = -(-ow // nOwt)
-                tin, lin = th + kh - 1, (owb + kw - 1) * LANES
-                kp = kh + r - 1
-                vmem = (2 * tin * c * lin + 2 * r * co * owb * LANES) * itemsize \
-                    + r * co * owb * LANES * 4 + kw * r * co * kp * c * itemsize
 
-                if vmem > 14 * 2 ** 20 or (r, th, owb) in seen:
+                if (_vmemBytes(c, co, kh, kw, th, owb, r, itemsize) > 14 * 2 ** 20
+                        or (r, th, owb) in seen):
                     continue
                 seen.add((r, th, owb))
 
@@ -337,3 +340,31 @@ def autotune(xshape, wshape, pad=(0, 0), dtype=np.float32, iters=8):
 
     _tuned[key] = bestParams
     return bestParams
+
+
+_probeResults = {}
+
+
+def probeCompile(xshape, wshape, pad, dtype):
+    """Eagerly compile the kernel for this signature once, outside any
+    enclosing trace.  The dispatch layer's try/except only sees trace-time
+    errors - Mosaic compiles when the *enclosing* jit compiles, so a flaky
+    or genuinely failing kernel compile would otherwise escape the XLA
+    fallback and crash the caller's train step."""
+    import jax
+
+    key = (tuple(xshape), tuple(wshape), tuple(pad), np.dtype(dtype).str)
+    cached = _probeResults.get(key)
+    if cached is not None:
+        return cached
+
+    try:
+        x = jax.ShapeDtypeStruct(tuple(xshape), dtype)
+        w = jax.ShapeDtypeStruct(tuple(wshape), dtype)
+        jax.jit(lambda a, b: conv2d(a, b, tuple(pad))).lower(x, w).compile()
+        ok = True
+    except Exception:
+        ok = False
+
+    _probeResults[key] = ok
+    return ok

@@ -110,9 +110,9 @@ class NodeInfo:
     def meanValue(self, value):
         return self._exchange(float(value), lambda vals: sum(vals) / self.gridsize)
 
-    def _collective(self, tensor, reducer):
+    def _collective(self, tensor, kind):
         """Assemble every node's tensor into one mesh-sharded array, run a
-        jitted ``reducer`` with replicated output (GSPMD inserts the
+        jitted reducer with replicated output (GSPMD inserts the
         collective), and hand each node its device-local replica."""
         import jax
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -130,7 +130,9 @@ class NodeInfo:
                 (len(devices), ) + slots[0][0].shape, NamedSharding(mesh, P("grid")), pieces,
             )
 
-            return jax.jit(reducer, out_shardings=NamedSharding(mesh, P()))(stacked)
+            # cache the jitted reducer per (kind, grid) so every training
+            # step's allreduce hits the jit cache instead of retracing
+            return _jittedReducer(kind, self.gridsize, tuple(d.id for d in devices), mesh)(stacked)
 
         replicated = self._exchange((tensor, self.device), runCollective)
 
@@ -145,12 +147,32 @@ class NodeInfo:
 
     def broadcastBuffer(self, name, buffer):
         """Device-side broadcast: node 0's buffer replaces every node's."""
-        import jax.numpy as jnp
-        self._collective(buffer, lambda x: x[0])
+        self._collective(buffer, "broadcast")
 
     def sumTensor(self, name, tensor):
         """Device-side mean-allreduce: every node's tensor is replaced by the
         grid mean."""
-        import jax.numpy as jnp
-        scale = 1.0 / self.gridsize
-        self._collective(tensor, lambda x: (jnp.sum(x.astype(jnp.float32), axis=0) * scale).astype(x.dtype))
+        self._collective(tensor, "mean")
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _jittedReducer(kind, gridsize, deviceIds, mesh):
+    """One jitted reducer per (kind, grid) - fresh lambdas per call would
+    defeat the jit cache and recompile on every allreduce."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if kind == "broadcast":
+        def reducer(x):
+            return x[0]
+    else:
+        scale = 1.0 / gridsize
+
+        def reducer(x):
+            return (jnp.sum(x.astype(jnp.float32), axis=0) * scale).astype(x.dtype)
+
+    return jax.jit(reducer, out_shardings=NamedSharding(mesh, P()))

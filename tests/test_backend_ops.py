@@ -441,3 +441,50 @@ def testBatchNormBackwardExactOracle():
     assert np.abs(dx.get() - dxRef).max() < 1e-4
     assert np.abs(dscale.get().ravel() - dsc).max() < 1e-4
     assert np.abs(dbias.get().ravel() - dbi).max() < 1e-4
+
+
+def testGroupedConvBackwardData():
+    """Grouped bwd-data (single feature_group_count conv) against the
+    jax.vjp of the grouped forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from puzzlelib_tpu.ops import conv as opsconv
+
+    np.random.seed(43)
+
+    n, cin, h, w_, co, k, groups = 2, 6, 9, 9, 8, 3, 2
+    stride, pad = (2, 1), (1, 1)
+
+    x = np.random.randn(n, cin, h, w_).astype(np.float32)
+    W = np.random.randn(co, cin // groups, k, k).astype(np.float32)
+
+    out = opsconv.convNd(jnp.asarray(x), jnp.asarray(W), None, stride, pad, (1, 1), groups)
+    grad = np.random.randn(*out.shape).astype(np.float32)
+
+    dx = opsconv.convNdBackwardData(jnp.asarray(grad), jnp.asarray(W), x.shape,
+                                    stride, pad, (1, 1), groups)
+
+    _, vjp = jax.vjp(
+        lambda xx: opsconv.convNd(xx, jnp.asarray(W), None, stride, pad, (1, 1), groups),
+        jnp.asarray(x))
+    dxRef, = vjp(jnp.asarray(grad))
+
+    assert np.allclose(np.asarray(dx), np.asarray(dxRef), atol=1e-4)
+
+    # depthwise extreme: groups == channels
+    cin2 = 4
+    x2 = np.random.randn(n, cin2, 8, 8).astype(np.float32)
+    W2 = np.random.randn(cin2, 1, 3, 3).astype(np.float32)
+
+    out2 = opsconv.convNd(jnp.asarray(x2), jnp.asarray(W2), None, (1, 1), (1, 1), (1, 1), cin2)
+    g2 = np.random.randn(*out2.shape).astype(np.float32)
+
+    dx2 = opsconv.convNdBackwardData(jnp.asarray(g2), jnp.asarray(W2), x2.shape,
+                                     (1, 1), (1, 1), (1, 1), cin2)
+    _, vjp2 = jax.vjp(
+        lambda xx: opsconv.convNd(xx, jnp.asarray(W2), None, (1, 1), (1, 1), (1, 1), cin2),
+        jnp.asarray(x2))
+    dx2Ref, = vjp2(jnp.asarray(g2))
+
+    assert np.allclose(np.asarray(dx2), np.asarray(dx2Ref), atol=1e-4)

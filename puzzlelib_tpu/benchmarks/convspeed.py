@@ -59,6 +59,12 @@ def chainRate(datashape=(128, 32, 64, 64), Wshape=(64, 32, 11, 11), pad=0, reps=
     print("bwdData chain  %.6f secs  %8.2f TFLOP/s (%4.1f%% of bf16 peak)"
           % (sec, bwdFlops / sec / 1e12, bwdFlops / sec / 197e12 * 100))
 
+    grad0 = (jax.random.normal(kx, (n, cout, outh, outw), jnp.float32) * 0.1).astype(jnp.bfloat16)
+    sec = bench(lambda a, b: opsconv.convNdBackwardParams(
+        a, grad0 + b.ravel()[0], b, (1, ) * nd, (pad, ) * nd, (1, ) * nd, 1)[0])
+    print("bwdFilter chain %.6f secs %8.2f TFLOP/s (%4.1f%% of bf16 peak)"
+          % (sec, flops / sec / 1e12, flops / sec / 197e12 * 100))
+
 
 def main(datashape=(128, 32, 64, 64), Wshape=(64, 32, 11, 11), stride=1, pad=0,
          dtype=np.float32):

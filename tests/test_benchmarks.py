@@ -7,7 +7,9 @@ import sys
 import pytest
 
 
-def runCli(args, timeout=300):
+# generous timeouts: the LeNet fused-step compile alone can take minutes on a
+# loaded machine, and these tests often run while TPU benchmarks hog the host
+def runCli(args, timeout=540):
     env = dict(os.environ, PUZZLE_BACKEND="cpu", JAX_PLATFORMS="cpu")
     return subprocess.run([sys.executable, "-m"] + args, capture_output=True, text=True,
                           timeout=timeout, env=env)
@@ -28,7 +30,7 @@ def testBenchCli():
                BENCH_BATCH="8", BENCH_STEPS="2")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run([sys.executable, os.path.join(root, "bench.py")],
-                       capture_output=True, text=True, timeout=300, env=env)
+                       capture_output=True, text=True, timeout=540, env=env)
     assert r.returncode == 0, r.stderr
 
     import json

@@ -288,8 +288,13 @@ _tuned = {}
 _TH_CANDIDATES = (18, 12, 9, 8, 6, 4, 3, 2)
 
 
-def autotune(xshape, wshape, pad=(0, 0), dtype=np.float32, iters=8):
-    """Time feasible (th, owb) tilings on the device; cache per signature."""
+def autotune(xshape, wshape, pad=(0, 0), dtype=np.float32, iters=4, maxCandidates=6):
+    """Time feasible (th, owb) tilings on the device; cache per signature.
+
+    Candidates are pre-ranked by the tile-waste model so only the
+    ``maxCandidates`` most promising tilings pay a compile (each timed
+    configuration compiles an ``iters``-deep chained program - the cuDNN
+    exhaustive-algo-search equivalent, expensive once per shape)."""
     import time
 
     key = (tuple(xshape), tuple(wshape), tuple(pad), np.dtype(dtype).str)
@@ -309,6 +314,7 @@ def autotune(xshape, wshape, pad=(0, 0), dtype=np.float32, iters=8):
     rAuto = _staggerRows(co)
     seen = set()
 
+    candidates = []
     for r in {rAuto, max(1, rAuto // 2), min(8, rAuto * 2)}:
         for th in _TH_CANDIDATES:
             if th % r != 0 or th > oh:
@@ -322,21 +328,39 @@ def autotune(xshape, wshape, pad=(0, 0), dtype=np.float32, iters=8):
                     continue
                 seen.add((r, th, owb))
 
-                try:
-                    fn = lambda: conv2d(x, w, pad, th=th, owb=owb, r=r)
-                    np.asarray(fn().ravel()[:1])
+                waste = (-(-oh // th) * th / oh) * (nOwt * owb / ow)
+                candidates.append((waste, -th * owb, th, owb, r))
 
-                    start = time.perf_counter()
-                    for _ in range(iters):
-                        out = fn()
-                    np.asarray(out.ravel()[:1])
-                    secs = (time.perf_counter() - start) / iters
+    candidates.sort()
 
-                except Exception:
-                    continue
+    for _, _, th, owb, r in candidates[:maxCandidates]:
+        try:
+            # time `iters` kernels chained inside ONE jitted program: a
+            # per-call eager loop would be dominated by dispatch latency
+            # (multi-ms through relayed backends), drowning the differences
+            # between tilings in noise
+            @jax.jit
+            def chained(x, w, th=th, owb=owb, r=r):
+                acc = jnp.zeros((8, ), jnp.float32)
+                for i in range(iters):
+                    out = conv2d(x, w + jnp.asarray(i, dtype), pad,
+                                 th=th, owb=owb, r=r)
+                    acc += out.ravel()[:8].astype(jnp.float32)
+                return acc
 
-                if secs < best:
-                    best, bestParams = secs, (th, owb, r)
+            np.asarray(chained(x, w).ravel()[:1])
+
+            start = time.perf_counter()
+            for _ in range(2):
+                out = chained(x, w)
+            np.asarray(out.ravel()[:1])
+            secs = (time.perf_counter() - start) / 2 / iters
+
+        except Exception:
+            continue
+
+        if secs < best:
+            best, bestParams = secs, (th, owb, r)
 
     _tuned[key] = bestParams
     return bestParams

@@ -64,6 +64,16 @@ def kernelRate(iters=4):
     print("kernel-rate 8192x65536x8192 bf16 | pallas %7.2f TF/s (%4.1f%% peak)" % (
         flops / sec / 1e12, 100 * flops / sec / peak))
 
+    ai = jax.random.randint(kA, (m, k), -127, 127, jnp.int8)
+    bi = jax.random.randint(kB, (k, n), -127, 127, jnp.int8)
+    np.asarray(ai.ravel()[:1])
+
+    i8 = jax.jit(lambda x, y: jax.lax.dot_general(
+        x, y, (((1, ), (0, )), ((), ())), preferred_element_type=jnp.int32))
+    sec = timeFn(lambda: i8(ai, bi), iters)
+    print("kernel-rate 8192x65536x8192 int8 | xla    %7.2f TOP/s (%4.1f%% peak)" % (
+        flops / sec / 1e12, 100 * flops / sec / PEAKS["int8"]))
+
 
 def main():
     parser = argparse.ArgumentParser()

@@ -65,33 +65,58 @@ def _vectorL1Norm(x):
 _pallasGemmBroken = False
 
 
-def _usePallasGemm(A, B):
-    if Config.gemmAlgo == "xla" or _pallasGemmBroken:
-        return False
+def _pallasGemmTiles(A, B):
+    """None to use the XLA dot, else (bm, bn, bk) tiles for the Pallas kernel."""
+    if Config.gemmAlgo == "xla" or _pallasGemmBroken or B.ndim != 2:
+        return None
 
-    n = B.shape[1] if B.ndim == 2 else 0
+    from puzzlelib_tpu.ops.pallas import matmul as _plmm
+
+    m, k = A.shape
+    n = B.shape[1]
 
     if Config.gemmAlgo == "pallas":
-        return True
+        return _plmm._tuned.get((m, n, k, A.dtype.str), (512, 512, 512))
 
-    # "auto": large, lane-aligned shapes where the kernel measured faster than XLA
-    return min(A.shape[0], A.shape[1], n) >= 1024 and n % 128 == 0 and A.shape[1] % 128 == 0
+    # "auto": a measured per-shape decision when the autotuner has seen this
+    # shape (Linear.optimizeForShape / gemmspeed --tune fill the table) ...
+    key = _plmm.dispatchKey(m, n, k, A.dtype)
+    if key in _plmm._dispatch:
+        return _plmm._dispatch[key]
+
+    # ... else the static prior: large, lane-aligned shapes measured at parity
+    # with XLA, so only route clearly-MXU-saturating shapes
+    if min(m, k, n) >= 1024 and n % 128 == 0 and k % 128 == 0:
+        return (512, 512, 512)
+
+    return None
 
 
 def _mulMatrixOnMatrix(A, B, out=None, transpA=False, transpB=False, alpha=1.0, beta=0.0):
     hasOut = out is not None and beta != 0.0
 
-    if not transpA and not transpB and not hasOut and alpha == 1.0 and _usePallasGemm(A, B):
+    tiles = None
+    if not transpA and not transpB and not hasOut and alpha == 1.0:
+        tiles = _pallasGemmTiles(A, B)
+
+    if tiles is not None:
         from puzzlelib_tpu.ops.pallas import matmul as _plmm, onTpu
 
+        bm, bn, bk = tiles
         try:
-            result = _plmm.matmulPadded(A.jax, B.jax, interpret=not onTpu())
+            result = _plmm.matmulPadded(A.jax, B.jax, bm=bm, bn=bn, bk=bk,
+                                        interpret=not onTpu())
         except Exception:
             # pallas compile failure (e.g. flaky remote-compile service): fall
             # back to the XLA dot, and remember so every later gemm skips the
             # failed-compile latency instead of re-paying it per call
             global _pallasGemmBroken
             _pallasGemmBroken = True
+            import logging
+            logging.getLogger("puzzlelib_tpu").warning(
+                "Pallas GEMM kernel failed to compile; all GEMMs run on the "
+                "XLA dot for the rest of the process "
+                "(ops.conv.resetDispatchCaches() to re-probe)")
             result = None
 
         if result is not None:

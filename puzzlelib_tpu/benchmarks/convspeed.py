@@ -52,8 +52,11 @@ def chainRate(datashape=(128, 32, 64, 64), Wshape=(64, 32, 11, 11), pad=0, reps=
     print("fwd chain      %.6f secs  %8.2f TFLOP/s (%4.1f%% of bf16 peak)"
           % (sec, flops / sec / 1e12, flops / sec / 197e12 * 100))
 
+    # a real random gradient: a broadcast-scalar operand would let XLA legally
+    # simplify the conv and inflate the quoted rate
+    gradData = (jax.random.normal(kx, (n, cout, outh, outw), jnp.float32) * 0.1).astype(jnp.bfloat16)
     sec = bench(lambda a, b: opsconv.convNdBackwardData(
-        jnp.zeros((n, cout, outh, outw), jnp.bfloat16) + a.ravel()[0], b,
+        gradData + a.ravel()[0], b,
         datashape, (1, ) * nd, (pad, ) * nd, (1, ) * nd, 1))
     bwdFlops = 2.0 * n * cin * h * w * cout * kh * kw   # dgrad covers the full input
     print("bwdData chain  %.6f secs  %8.2f TFLOP/s (%4.1f%% of bf16 peak)"

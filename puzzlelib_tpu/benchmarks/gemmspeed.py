@@ -147,6 +147,12 @@ def main():
                 line += " | pallas %7.2f TF/s (%4.1f%% peak, tile %s)" % (
                     flops / palSec / 1e12, 100 * flops / palSec / PEAKS[dtname], tiles)
 
+                # record the winner so eager GEMMs of this shape use it
+                # (Config.gemmAlgo="auto" consults this table)
+                pm._dispatch[pm.dispatchKey(size, size, size, dt)] = (
+                    tiles if palSec < xlaSec else None)
+                line += " | dispatch->%s" % ("pallas" if palSec < xlaSec else "xla")
+
             print(line)
 
 

@@ -50,6 +50,25 @@ class Linear(Module):
         if self.useBias:
             Blas.sumOnMatrix(grad, out=self.vars["b"].grad, alpha=scale, beta=momentum)
 
+    def optimizeForShape(self, shape, memlimit=None):
+        """Per-shape measured GEMM dispatch: time the XLA dot against the best
+        Pallas tiling for this layer's forward GEMM and memoize the winner
+        (the cuDNN algo-search equivalent; cf. ConvND.optimizeForShape)."""
+        import jax
+
+        # the transposed fwd GEMM (data @ W.T) never routes to Pallas
+        if jax.default_backend() == "cpu" or self.transpose:
+            return
+
+        from puzzlelib_tpu.ops.pallas import matmul as _plmm
+
+        insize, outsize = self.W.shape
+
+        if shape[1] != insize:
+            return
+
+        _plmm.tuneDispatch(shape[0], outsize, insize, dtype=self.calctype)
+
     def dataShapeFrom(self, shape):
         return (shape[0], self.W.shape[1]) if not self.transpose else (shape[0], self.W.shape[0])
 

@@ -25,12 +25,15 @@ Algo selection (``ConvFwdAlgo`` etc.) is retained as an API-level no-op: XLA
 owns scheduling, and `optimizeForShape` maps to ahead-of-time compilation.
 """
 
+import logging
 from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+logger = logging.getLogger("puzzlelib_tpu")
 
 
 def _dimNumbers(nd):
@@ -49,6 +52,21 @@ def _useChannelsLast(dtype):
 
 
 _pallasFailed = set()
+
+
+def resetDispatchCaches():
+    """Forget negative dispatch decisions (failed Pallas probes/compiles).
+
+    The per-process caches exist so one flaky remote compile doesn't re-pay
+    its latency on every call - but they also pin the slower XLA path for the
+    process lifetime.  Call this (e.g. alongside flipping ``Config.convAlgo``)
+    to re-probe."""
+    from puzzlelib_tpu.ops.pallas import conv as pconv
+    from puzzlelib_tpu.backend import blas as Blas
+
+    _pallasFailed.clear()
+    pconv._probeResults.clear()
+    Blas._pallasGemmBroken = False
 
 
 def _tryPallas(x, w, stride, pad, dilation, groups):
@@ -84,7 +102,7 @@ def _tryPallas(x, w, stride, pad, dilation, groups):
 
     from puzzlelib_tpu.ops.pallas import conv as pconv
 
-    if not pconv.applicable(x.shape, w.shape, stride, pad, dilation, groups):
+    if not pconv.applicable(x.shape, w.shape, stride, pad, dilation, groups, x.dtype):
         return None
 
     key = (x.shape, w.shape, tuple(pad), str(x.dtype))
@@ -96,12 +114,19 @@ def _tryPallas(x, w, stride, pad, dilation, groups):
     # this try/except and crash the caller instead of falling back to XLA
     if not pconv.probeCompile(x.shape, w.shape, tuple(pad), x.dtype):
         _pallasFailed.add(key)
+        logger.warning(
+            "Pallas conv probe-compile failed for x%s w%s %s; this shape runs "
+            "on the XLA fallback for the rest of the process "
+            "(ops.conv.resetDispatchCaches() to re-probe)", x.shape, w.shape, x.dtype)
         return None
 
     try:
         return pconv.conv2d(x, w, tuple(pad))
     except Exception:
         _pallasFailed.add(key)
+        logger.warning(
+            "Pallas conv kernel failed at trace time for x%s w%s %s; falling "
+            "back to XLA for this shape", x.shape, w.shape, x.dtype)
         return None
 
 

@@ -189,8 +189,11 @@ def _tileParams(c, co, kh, kw, oh, ow, itemsize, r=1, vmemBudget=14 * 2 ** 20):
     return best[2], best[3]
 
 
-def applicable(xshape, wshape, stride, pad, dilation, groups):
-    """Cheap static eligibility for the Pallas path (NCHW shapes)."""
+def applicable(xshape, wshape, stride, pad, dilation, groups, dtype=jnp.bfloat16):
+    """Cheap static eligibility for the Pallas path (NCHW shapes).
+
+    ``dtype`` feeds the VMEM-feasibility check; the production dispatch only
+    routes bf16 here, but the autotuner/benchmark layers may query f32."""
     if len(xshape) != 4 or groups != 1:
         return False
 
@@ -209,7 +212,7 @@ def applicable(xshape, wshape, stride, pad, dilation, groups):
     if oh < 1 or ow < 1:
         return False
 
-    itemsize = 2
+    itemsize = np.dtype(dtype).itemsize
     return _tileParams(c, co, kh, kw, oh, ow, itemsize, r=_staggerRows(co)) is not None
 
 
@@ -363,6 +366,19 @@ def autotune(xshape, wshape, pad=(0, 0), dtype=np.float32, iters=4, maxCandidate
             best, bestParams = secs, (th, owb, r)
 
     _tuned[key] = bestParams
+
+    # `conv2d` reads `_tuned` at trace time: any jit that already traced this
+    # signature (ops.conv.convNd and friends) would otherwise keep its old
+    # tiling forever.  Retracing is cheap next call; the Mosaic kernel cache
+    # survives, so no recompiles are paid for tilings the sweep already built.
+    from puzzlelib_tpu.ops import conv as _dispatch
+    for fn in (_dispatch.convNd, _dispatch.convNdBackwardData,
+               _dispatch.deconvNd, _dispatch.deconvNdBackwardData):
+        try:
+            fn.clear_cache()
+        except Exception:
+            pass
+
     return bestParams
 
 

@@ -141,4 +141,50 @@ def autotune(m, n, k, dtype=np.float32, iters=10):
             best, bestTiles = secs, (bm, bn, bk)
 
     _tuned[key] = bestTiles
+    _tunedSecs[key] = best
     return bestTiles
+
+
+_tunedSecs = {}
+
+# per-shape measured dispatch for `Config.gemmAlgo="auto"`:
+#   key -> (bm, bn, bk) tiles when the Pallas kernel measured faster than the
+#   XLA dot, or None when XLA won.  Filled by `tuneDispatch` (reached through
+#   `Linear.optimizeForShape` and `gemmspeed --tune`); consulted by
+#   `backend.blas` before its static shape heuristic.
+_dispatch = {}
+
+
+def dispatchKey(m, n, k, dtype):
+    return (m, n, k, np.dtype(dtype).str)
+
+
+def tuneDispatch(m, n, k, dtype=np.float32, iters=10):
+    """Measure the XLA dot against the best Pallas tiling for (m, n, k) and
+    memoize which one eager GEMMs of this shape should use.
+
+    The equivalent of cuDNN's per-shape algo search for the GEMM path
+    (reference: Cuda/GPUBackend.py:371 pattern applied to Linear)."""
+    import time
+
+    key = dispatchKey(m, n, k, dtype)
+    if key in _dispatch:
+        return _dispatch[key]
+
+    tiles = autotune(m, n, k, dtype=dtype, iters=iters)
+    pallasSecs = _tunedSecs.get((m, n, k, np.dtype(dtype).str), float("inf"))
+
+    a = jnp.zeros((m, k), dtype)
+    b = jnp.zeros((k, n), dtype)
+
+    xla = jax.jit(lambda x, y: x @ y)
+    np.asarray(xla(a, b).ravel()[:1])
+
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = xla(a, b)
+    np.asarray(out.ravel()[:1])
+    xlaSecs = (time.perf_counter() - start) / iters
+
+    _dispatch[key] = tiles if pallasSecs < xlaSecs else None
+    return _dispatch[key]

@@ -1,0 +1,219 @@
+"""Per-layer train-step profile: where the milliseconds go.
+
+The TPU answer to the reference's ConvPerf/OptimizeNet records
+(/root/reference/TestLib/OptimizeNet.py:29-37, Cuda/Backend.py:146-168):
+walk a net's leaf modules with their real intermediate shapes, time each
+leaf's forward / backward-data / backward-params as chained jitted programs
+(relay-honest methodology: reps inside ONE program, readback fence), and
+print a table of time, FLOPs, achieved TFLOP/s and share of the measured
+whole-step time.
+
+Chains are deduplicated by (module type, shape, dtype) signature so a VGG-16
+profile compiles ~20 small programs, not 3x40.
+
+Run: python -m puzzlelib_tpu.benchmarks.netspeed --net vgg16 --dtype bfloat16 --profile
+"""
+
+import time
+
+import numpy as np
+
+
+BF16_PEAK = 197e12
+
+
+def _leafModules(mod, prefix=""):
+    """(path, module) leaves in execution order (containers recursed)."""
+    from puzzlelib_tpu.containers.container import Container
+    from puzzlelib_tpu.containers.sequential import Sequential
+    from puzzlelib_tpu.containers.parallel import Parallel
+
+    name = mod.name or type(mod).__name__
+    path = "%s/%s" % (prefix, name) if prefix else name
+
+    if isinstance(mod, (Sequential, Parallel)):
+        out = []
+        for child in mod.graph:
+            out.extend(_leafModules(child, path))
+        return out
+
+    if isinstance(mod, Container):
+        out = []
+        for child in mod.modules.values():
+            out.extend(_leafModules(child, path))
+        return out
+
+    return [(path, mod)]
+
+
+def _flopsOf(mod, inshape, outshape):
+    """Forward-pass MXU FLOPs for the types where they are well-defined."""
+    kind = type(mod).__name__
+
+    if kind.startswith("Conv") or kind.startswith("Deconv"):
+        w = mod.W.shape
+        spatial = int(np.prod(outshape[2:] if kind.startswith("Conv") else inshape[2:]))
+        batch = inshape[0]
+        # W is (co, cpg, *k) for conv, (ci, opg, *k) for deconv
+        return 2.0 * batch * spatial * int(np.prod(w))
+
+    if kind == "Linear":
+        return 2.0 * inshape[0] * int(np.prod(mod.W.shape))
+
+    if kind == "GroupLinear" and mod.W is not None:
+        return 2.0 * inshape[0] * int(np.prod(mod.W.shape))
+
+    return None
+
+
+def _timeChain(fn, operands, reps, iters):
+    """Time fn chained `reps` times inside one jitted program."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(*ops):
+        acc = jnp.zeros((8, ), jnp.float32)
+        out = None
+        for i in range(reps):
+            out = fn(i, *ops)
+            acc = acc + out.ravel()[:8].astype(jnp.float32)
+        return acc
+
+    np.asarray(chained(*operands).ravel()[:1])           # compile + warm
+
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = chained(*operands)
+    np.asarray(out.ravel()[:1])
+
+    return (time.perf_counter() - start) / iters / reps
+
+
+def _profileLeaf(mod, inArr, gradArr, reps, iters):
+    """(fwd, fwd+bwdData, fwd+bwdData+bwdParams) chained seconds."""
+    import jax.numpy as jnp
+    from puzzlelib_tpu.tensor import GPUArray
+
+    eps = jnp.asarray(1e-3, inArr.dtype)
+    hasParams = len(mod.vars) > 0
+
+    def fwd(i, x, g):
+        out = mod(GPUArray(x + eps * i))
+        mod.reset()
+        return out.jax
+
+    def fwdBwd(i, x, g):
+        mod(GPUArray(x + eps * i))
+        mod.updateGrad(GPUArray(g))
+        grad = mod.grad
+        mod.reset()
+        return grad.jax
+
+    def fwdBwdParams(i, x, g):
+        mod(GPUArray(x + eps * i))
+        gw = GPUArray(g)
+        mod.updateGrad(gw)
+        mod.accGradParams(gw)
+        grad = mod.grad
+        mod.reset()
+        return grad.jax
+
+    ops = (inArr, gradArr)
+    tF = _timeChain(fwd, ops, reps, iters)
+    tFB = _timeChain(fwdBwd, ops, reps, iters)
+    tFBP = _timeChain(fwdBwdParams, ops, reps, iters) if hasParams else tFB
+
+    return tF, tFB, tFBP
+
+
+def profileNet(net, data, stepSecs=None, reps=8, iters=2, out=print):
+    """Print the per-layer table for one train step of ``net`` on ``data``.
+
+    ``stepSecs`` (optional): measured whole-step seconds for the %-of-step
+    column and the unattributed remainder line."""
+    import jax.numpy as jnp
+    from puzzlelib_tpu.backend import gpuarray
+    from puzzlelib_tpu.tensor import GPUArray
+
+    # recording forward: leaves keep .inData/.data shapes afterwards
+    net(gpuarray.to_gpu(data))
+
+    leaves = _leafModules(net)
+
+    rows = []
+    cache = {}        # (type, inshape, outshape, dtype) -> timings
+
+    for path, mod in leaves:
+        inData, outData = mod.inData, mod.data
+
+        if not isinstance(inData, GPUArray) or not isinstance(outData, GPUArray):
+            rows.append((path, mod, None, None, None))     # list-valued io: skip
+            continue
+
+        sig = (type(mod).__name__, inData.shape, outData.shape, str(inData.dtype))
+
+        if sig not in cache:
+            x = jnp.asarray(np.random.randn(*inData.shape) * 0.1, inData.jax.dtype)
+            g = jnp.asarray(np.random.randn(*outData.shape) * 0.1, outData.jax.dtype)
+
+            try:
+                cache[sig] = _profileLeaf(mod, x, g, reps, iters)
+            except Exception as exc:
+                cache[sig] = exc
+
+        rows.append((path, mod, inData.shape, outData.shape, cache[sig]))
+
+    net.reset()
+
+    # -- report -------------------------------------------------------------
+
+    isBf16 = "bfloat16" in str(data.dtype)
+    out("%-44s %18s %9s %9s %9s %8s %6s %6s" % (
+        "layer", "out shape", "fwd us", "bwdD us", "bwdP us", "TF/s", "%peak", "%step"))
+
+    totF = totBD = totBP = 0.0
+    for path, mod, inshape, outshape, t in rows:
+        shapeStr = "x".join(map(str, outshape)) if outshape else "-"
+
+        if t is None:
+            out("%-44s %18s %9s" % (path[-44:], shapeStr[-18:], "(skip)"))
+            continue
+        if isinstance(t, Exception):
+            out("%-44s %18s  FAILED: %s" % (path[-44:], shapeStr[-18:], str(t)[:60]))
+            continue
+
+        tF, tFB, tFBP = t
+        bwdD, bwdP = max(0.0, tFB - tF), max(0.0, tFBP - tFB)
+        totF += tF
+        totBD += bwdD
+        totBP += bwdP
+
+        flops = _flopsOf(mod, inshape, outshape)
+        layerTotal = tF + bwdD + bwdP
+        if flops:
+            # fwd + bwdData + bwdFilter each cost ~`flops`
+            dirs = 1 + (1 if bwdD > 0 else 0) + (1 if bwdP > 0 else 0)
+            tfs = flops * dirs / layerTotal / 1e12
+            peakPct = "%5.1f" % (tfs * 1e12 / BF16_PEAK * 100) if isBf16 else "    -"
+            tfsStr = "%8.2f" % tfs
+        else:
+            tfsStr, peakPct = "       -", "    -"
+
+        stepPct = "%5.1f" % (layerTotal / stepSecs * 100) if stepSecs else "    -"
+
+        out("%-44s %18s %9.1f %9.1f %9.1f %s %s %s" % (
+            path[-44:], shapeStr[-18:], tF * 1e6, bwdD * 1e6, bwdP * 1e6,
+            tfsStr, peakPct, stepPct))
+
+    attributed = totF + totBD + totBP
+    out("%-44s %18s %9.1f %9.1f %9.1f" % (
+        "TOTAL (sum of layers)", "", totF * 1e6, totBD * 1e6, totBP * 1e6))
+
+    if stepSecs:
+        out("measured fused step: %.1f us; attributed %.1f us (%.0f%%); "
+            "remainder %.1f us (cost+optimizer+fusion deltas)" % (
+                stepSecs * 1e6, attributed * 1e6, attributed / stepSecs * 100,
+                (stepSecs - attributed) * 1e6))
+
+    return rows

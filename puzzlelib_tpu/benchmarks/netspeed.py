@@ -42,6 +42,8 @@ def main():
     parser.add_argument("--dtype", default="float32", choices=["float32", "float16", "bfloat16"])
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--infer", action="store_true", help="time inference instead of training")
+    parser.add_argument("--profile", action="store_true",
+                        help="per-layer fwd/bwd time+roofline table (ConvPerf/OptimizeNet analogue)")
     args = parser.parse_args()
 
     import jax
@@ -102,6 +104,10 @@ def main():
 
     print("%s %s %s batch %d: %.2f ms/step, %.1f images/sec" %
           (args.net, mode, args.dtype, args.batch, secs * 1e3, args.batch / secs))
+
+    if args.profile:
+        from puzzlelib_tpu.benchmarks.layerprofile import profileNet
+        profileNet(net, data, stepSecs=None if args.infer else secs)
 
 
 if __name__ == "__main__":

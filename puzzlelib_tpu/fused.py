@@ -97,6 +97,52 @@ def collectStateBuffers(module, cost=None, optimizer=None, withMeta=False):
     return roots
 
 
+def collectParamBuffers(module):
+    """Unique root weight buffers (var data only - no grads, no attrs)."""
+    seen, roots = set(), []
+
+    def walk(mod):
+        for var in mod.vars.values():
+            root = _rootBuffer(var.data)
+            if id(root) not in seen:
+                seen.add(id(root))
+                roots.append(root)
+
+        if isinstance(mod, Container):
+            for child in mod.modules.values():
+                walk(child)
+
+    walk(module)
+    return roots
+
+
+def functionalize(module):
+    """Pure-apply view of a Module-layer net: returns ``(apply, params)``.
+
+    ``apply(params, x)`` substitutes the weight pytree into the live module's
+    buffers, runs the eager forward under the caller's trace, and returns the
+    jax output; ``params`` is the current weight list.  This is what lets
+    Module-built nets ride the functional parallel schedules - GPipe stages
+    (``parallel.pipeline``) and MoE experts (``parallel.moe``) - without
+    rewriting them as raw jax functions.
+
+    Sibling modules that share the template's structure can supply their own
+    weights via ``collectParamBuffers(sibling)`` (buffer order follows the
+    module tree, so identical structure means identical order).
+    """
+    buffers = collectParamBuffers(module)
+
+    def apply(params, x):
+        for buf, arr in zip(buffers, params):
+            buf._write(arr)
+
+        out = module(GPUArray(x))
+        module.reset()
+        return out.jax
+
+    return apply, [buf.jax for buf in buffers]
+
+
 def tensorParallelSpecs(module, cost, optimizer, mesh, modelAxis="model"):
     """Per-buffer PartitionSpecs for simple Megatron-style tensor parallelism:
     Linear weights shard on the output-feature dim, Conv weights on outmaps.

@@ -49,6 +49,23 @@ def testUNetShape():
     assert net.dataShapeFrom((1, 1, 64, 64)) == (1, 1, 64, 64)
 
 
+def testUNetNumericOracle():
+    """Whole-net forward+backward vs the independent torch float64 oracle
+    (reference semantics: Models/Nets/UNet.py)."""
+    from torchoracle import checkNetAgainstOracle
+    from puzzlelib_tpu.models.nets import loadUNet
+    from puzzlelib_tpu.modules import Dropout
+
+    np.random.seed(10)
+    net = loadUNet(None, initscheme=None)
+
+    for drop in net.getAllByType(Dropout):
+        drop.evalMode()
+
+    data = np.random.randn(1, 1, 32, 32).astype(np.float32)
+    checkNetAgainstOracle(net, data, seed=11)
+
+
 def testInceptionShapes():
     from puzzlelib_tpu.models.nets import loadInceptionBN, loadInceptionV3
 
@@ -67,11 +84,41 @@ def testW2LShape():
     assert shape == (1, 29, 100)
 
 
+def testW2LNumericOracle():
+    """Whole-net forward+backward vs the torch float64 oracle
+    (reference semantics: Models/Nets/WaveToLetter.py)."""
+    from torchoracle import checkNetAgainstOracle
+    from puzzlelib_tpu.models.nets import loadW2L
+    from puzzlelib_tpu.modules import Dropout
+
+    np.random.seed(12)
+    net = loadW2L(None, inmaps=161, nlabels=29)
+
+    for drop in net.getAllByType(Dropout):
+        drop.evalMode()
+
+    data = np.random.randn(1, 161, 64).astype(np.float32)
+    checkNetAgainstOracle(net, data, seed=13)
+
+
 def testMiniYoloShape():
     from puzzlelib_tpu.models.nets import loadMiniYolo
 
     net = loadMiniYolo(None, numOutput=1470, initscheme="none")
     assert net.dataShapeFrom((1, 3, 448, 448)) == (1, 1470)
+
+
+def testMiniYoloNumericOracle():
+    """Whole-net forward+backward vs the torch float64 oracle
+    (reference semantics: Models/Nets/MiniYolo.py)."""
+    from torchoracle import checkNetAgainstOracle
+    from puzzlelib_tpu.models.nets import loadMiniYolo
+
+    np.random.seed(14)
+    net = loadMiniYolo(None, numOutput=1470, initscheme=None)
+
+    data = np.random.randn(1, 3, 448, 448).astype(np.float32)
+    checkNetAgainstOracle(net, data, seed=15)
 
 
 def testSentiNetForward():

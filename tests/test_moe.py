@@ -95,3 +95,41 @@ def testMoETrains(mesh):
             first = float(val)
 
     assert float(val) < first * 0.8, (first, float(val))
+
+
+def testMoEModuleExperts(mesh):
+    """Switch routing over Module-layer (user API) experts via functionalize."""
+    from puzzlelib_tpu.containers import Sequential
+    from puzzlelib_tpu.modules import Linear, Activation, relu
+    from puzzlelib_tpu.fused import functionalize, collectParamBuffers
+
+    np.random.seed(21)
+
+    def makeExpert():
+        expert = Sequential()
+        expert.append(Linear(DIM, 16, wscale=0.3, initscheme="gaussian"))
+        expert.append(Activation(relu))
+        expert.append(Linear(16, DIM, wscale=0.3, initscheme="gaussian"))
+        return expert
+
+    experts = [makeExpert() for _ in range(N_EXPERTS)]
+    apply, _ = functionalize(makeExpert())
+
+    perExpert = [[buf.jax for buf in collectParamBuffers(e)] for e in experts]
+    stacked = stackExpertParams(perExpert)
+
+    rng = np.random.RandomState(22)
+    gateW = jnp.asarray(rng.randn(DIM, N_EXPERTS).astype(np.float32))
+    x = jnp.asarray(rng.randn(4 * N_EXPERTS, DIM).astype(np.float32))
+
+    out, aux = moeForward(apply, stacked, gateW, x, mesh, "expert")
+
+    # oracle: identical routing with a raw-jax expert of the same weights
+    def rawExpert(params, tok):
+        w1, b1, w2, b2 = params
+        return jax.nn.relu(tok @ w1 + b1) @ w2 + b2
+
+    refOut, refAux = moeForward(rawExpert, stacked, gateW, x, mesh, "expert")
+
+    assert np.allclose(np.asarray(out), np.asarray(refOut), atol=1e-5)
+    assert np.allclose(float(aux), float(refAux), atol=1e-6)

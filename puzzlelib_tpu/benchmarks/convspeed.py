@@ -48,9 +48,25 @@ def chainRate(datashape=(128, 32, 64, 64), Wshape=(64, 32, 11, 11), pad=0, reps=
         return (time.perf_counter() - start) / iters / reps
 
     nd = 2
+    before = dict(opsconv.dispatchStats)
     sec = bench(lambda a, b: opsconv._convCore(a, b, (1, ) * nd, (pad, ) * nd, (1, ) * nd, 1))
-    print("fwd chain      %.6f secs  %8.2f TFLOP/s (%4.1f%% of bf16 peak)"
-          % (sec, flops / sec / 1e12, flops / sec / 197e12 * 100))
+    pallasRan = opsconv.dispatchStats["pallas"] > before["pallas"]
+    print("fwd chain      %.6f secs  %8.2f TFLOP/s (%4.1f%% of bf16 peak)  [%s]"
+          % (sec, flops / sec / 1e12, flops / sec / 197e12 * 100,
+             "pallas" if pallasRan else "xla"))
+
+    # the shapes PARITY quotes as Pallas numbers must actually trace Pallas:
+    # a silent probe-compile fallback would otherwise report an XLA time
+    # under a Pallas label (docs/kernels.md "Dispatch rule")
+    from puzzlelib_tpu.ops.pallas import conv as _pconv
+    import jax as _jax
+    eligible = (_jax.default_backend() != "cpu"
+                and _pconv.applicable(datashape, Wshape, (1, 1), (pad, pad), (1, 1), 1)
+                and (Wshape[0] <= 48 or (kh * kw >= 81 and Wshape[0] < 128)) and n >= 96)
+    if eligible and not pallasRan:
+        raise AssertionError(
+            "Pallas-eligible ConvSpeed shape fell back to XLA - probe-compile "
+            "failure or dispatch regression (see logged warning)")
 
     # a real random gradient: a broadcast-scalar operand would let XLA legally
     # simplify the conv and inflate the quoted rate

@@ -157,10 +157,21 @@ def profileNet(net, data, stepSecs=None, reps=8, iters=2, out=print):
             x = jnp.asarray(np.random.randn(*inData.shape) * 0.1, inData.jax.dtype)
             g = jnp.asarray(np.random.randn(*outData.shape) * 0.1, outData.jax.dtype)
 
+            # the chains run accGradParams/BN-stat updates at trace time, which
+            # writes tracers through grad views into their (possibly shared)
+            # root buffers - snapshot the concrete roots and restore after, or
+            # every later layer sharing a root hits a leaked tracer
+            from puzzlelib_tpu.fused import collectStateBuffers
+            roots = collectStateBuffers(mod)
+            snapshot = [r.jax for r in roots]
+
             try:
                 cache[sig] = _profileLeaf(mod, x, g, reps, iters)
             except Exception as exc:
                 cache[sig] = exc
+            finally:
+                for root, saved in zip(roots, snapshot):
+                    root._write(saved)
 
         rows.append((path, mod, inData.shape, outData.shape, cache[sig]))
 

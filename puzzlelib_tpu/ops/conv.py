@@ -53,6 +53,10 @@ def _useChannelsLast(dtype):
 
 _pallasFailed = set()
 
+# trace-time dispatch tally: lets benchmarks assert the Pallas path actually
+# ran (a silent XLA fallback would otherwise masquerade as a Pallas number)
+dispatchStats = {"pallas": 0, "xla": 0}
+
 
 def resetDispatchCaches():
     """Forget negative dispatch decisions (failed Pallas probes/compiles).
@@ -147,7 +151,10 @@ def _convCore(x, w, stride, pad, dilation, groups):
         out = _tryPallas(x, w, stride, pad, dilation, groups)
 
         if out is not None:
+            dispatchStats["pallas"] += 1
             return out
+
+    dispatchStats["xla"] += 1
 
     if _useChannelsLast(x.dtype):
         out = lax.conv_general_dilated(

@@ -1,0 +1,324 @@
+"""Small-kernel conv for the TPU MXU: (H,C)-sublane / image-grouped-W-lane.
+
+The batch-in-lanes HCWN kernel (``conv.py``) needs >= 96 images to fill the
+128 lanes — real training batches (16-32) waste 3/4 of the machine, which is
+why ResNet/VGG body shapes (3x3, C = CO = 64..512) ran at 14-56 TF/s.  Two
+earlier schedules (C-sublane/row-raster-lane, v1/v2 of this file) hit a VPU
+relayout wall instead: every tap is a lane shift there, and misaligned lane
+shifts of bf16 tiles cost more than the MXU work they feed.
+
+This schedule makes every tap shift free:
+
+- Layout per image group: ``(H*C, G*WP)`` — sublanes are ``h*C + c`` (rows
+  major, channels minor), lanes interleave ``G = 128/WP`` images each padded
+  to ``WP`` lanes per row (the row holds its own kw-halo: columns
+  ``-pad .. WP-1-pad``).  NCHW -> this is a pad + (C,H)-transpose + reshape.
+- A row shift (tap dy) is a SUBLANE offset of ``dy*C``: free VMEM aliasing.
+- A column shift (tap dx) is a lane offset of ``dx``, identical for every
+  interleaved image — paid by the HBM->VMEM DMA (kw shifted fetches per
+  tile), not by VPU relayouts; DMA runs ahead double-buffered.
+- Each output row is kw MXU dots of contraction depth ``KH*C``:
+  ``acc += W[dx] @ buf[dx][i*C : i*C + KH*C, :]`` with M = CO and N = 128
+  lanes (G images x WP columns) — full MXU occupancy for C, CO >= 128.
+
+The kernel consumes and emits the SAME layout family ((N/G, H*C, 128) in,
+(N/G, OH*CO, 128) out), so back-to-back 3x3 convs chain with no transposes;
+the NCHW entry/exit transforms are plain XLA transposes that fuse/cancel
+inside larger programs.  Supported: 2D, stride 1, dilation 1, groups 1,
+bf16/f32, W + 2*pad <= 128.  Everything else falls back to the XLA path.
+Replaces the cuDNN small-kernel algo family for these shapes
+(/root/reference/Cuda/Source/Libs/CuDnn.c:1155-1220).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _subBlock(w, pad):
+    """Smallest 128-divisor lane sub-block holding one kw-haloed row."""
+    need = w + 2 * pad
+    for wp in (16, 32, 64, 128):
+        if need <= wp:
+            return wp
+    return None
+
+
+def _kernel(xRef, wRef, outRef, xBuf, acc, sems, *,
+            nrows, kh, kw, c, co, tin, nTiles, outDtype, highPrec):
+    nb, t = pl.program_id(0), pl.program_id(1)
+
+    tile = nb * nTiles + t
+    total = pl.num_programs(0) * nTiles
+
+    def fetch(slot, nbI, tI):
+        # kw dx-shifted fetches from the pre-shifted stack (DMA lane starts
+        # must be 128-aligned, so the shift is materialised by XLA up front)
+        return [
+            pltpu.make_async_copy(
+                xRef.at[dx, nbI, pl.ds(tI * nrows * c, tin * c), :],
+                xBuf.at[slot, dx],
+                sems.at[slot, dx],
+            )
+            for dx in range(kw)
+        ]
+
+    slot = jax.lax.rem(tile, 2)
+
+    @pl.when(tile == 0)
+    def _():
+        for cp in fetch(slot, nb, t):
+            cp.start()
+
+    nxt = tile + 1
+    tN = jax.lax.rem(nxt, nTiles)
+    nbN = nxt // nTiles
+
+    @pl.when(nxt < total)
+    def _():
+        for cp in fetch(1 - slot, nbN, tN):
+            cp.start()
+
+    for cp in fetch(slot, nb, t):
+        cp.wait()
+
+    prec = jax.lax.Precision.HIGHEST if highPrec else jax.lax.Precision.DEFAULT
+
+    for i in range(nrows):
+        for dx in range(kw):
+            # tap dy lives inside the contraction: sublanes i*c .. i*c+kh*c
+            # of the dx-shifted buffer are rows i..i+kh-1 - free aliasing
+            patch = xBuf[slot, dx, pl.ds(i * c, kh * c), :]
+            part = jnp.dot(wRef[dx], patch, preferred_element_type=jnp.float32,
+                           precision=prec)
+
+            if dx == 0:
+                acc[...] = part
+            else:
+                acc[...] += part
+
+        outRef[0, pl.ds(i * co, co), :] = acc[...].astype(outDtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kh", "kw", "c", "co",
+                                             "nrows", "nTiles", "interpret"))
+def _convHC(xT, wk, *, kh, kw, c, co, nrows, nTiles, interpret=False):
+    """xT (KW, NB, HP*C, LANES) pre-shifted layout operand; wk (KW, CO, KH*C).
+    Returns (NB, nTiles*nrows*CO, LANES)."""
+    nb = xT.shape[1]
+    tin = nrows + kh - 1
+
+    return pl.pallas_call(
+        functools.partial(
+            _kernel, nrows=nrows, kh=kh, kw=kw, c=c, co=co, tin=tin,
+            nTiles=nTiles, outDtype=xT.dtype, highPrec=xT.dtype == jnp.float32,
+        ),
+        grid=(nb, nTiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),       # x in HBM, manual DMA
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # filter resident
+        ],
+        out_specs=pl.BlockSpec((1, nrows * co, LANES), lambda nbI, t: (nbI, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((nb, nTiles * nrows * co, LANES), xT.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, kw, tin * c, LANES), xT.dtype),
+            pltpu.VMEM((co, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, kw)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * nTiles * nrows * co * LANES * kh * kw * c,
+            bytes_accessed=int(nb * nTiles * kw * tin * c * LANES * xT.dtype.itemsize
+                               + wk.size * wk.dtype.itemsize
+                               + nb * nTiles * nrows * co * LANES * xT.dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xT, wk)
+
+
+def _vmemBytes(c, co, kh, kw, nrows, itemsize):
+    tin = nrows + kh - 1
+
+    return (2 * kw * tin * c * LANES * itemsize        # dx-shifted double buffers
+            + co * LANES * 4                           # f32 accumulator
+            + 2 * nrows * co * LANES * itemsize        # pipelined out slab
+            + kw * co * kh * c * itemsize)             # filter
+
+
+def _pickRows(c, co, kh, kw, oh, itemsize, vmemBudget=10 * 2 ** 20):
+    """Largest row tile under the VMEM budget with minimal oh padding."""
+    best, bestRows = None, None
+
+    for nrows in range(min(oh, 16), 0, -1):
+        if _vmemBytes(c, co, kh, kw, nrows, itemsize) > vmemBudget:
+            continue
+
+        nTiles = -(-oh // nrows)
+        cand = (nTiles * nrows / oh, -nrows)           # padded-rows overhead
+
+        if best is None or cand < best:
+            best, bestRows = cand, nrows
+
+    return bestRows
+
+
+def applicable(xshape, wshape, stride, pad, dilation, groups, dtype=jnp.bfloat16):
+    """Static eligibility (NCHW shapes)."""
+    if len(xshape) != 4 or groups != 1:
+        return False
+
+    if any(s != 1 for s in stride) or any(d != 1 for d in dilation):
+        return False
+
+    n, c, h, w = xshape
+    co, _, kh, kw = wshape
+
+    itemsize = np.dtype(dtype).itemsize
+    sublaneQ = 8 * (4 // itemsize)                     # f32: 8, bf16: 16 sublanes
+
+    if c % sublaneQ != 0 or co % sublaneQ != 0:
+        return False
+
+    wp = _subBlock(w, pad[1])
+    if wp is None:
+        return False
+
+    oh = h + 2 * pad[0] - kh + 1
+    ow = w + 2 * pad[1] - kw + 1
+    if oh < 1 or ow < 1:
+        return False
+
+    return _pickRows(c, co, kh, kw, oh, itemsize) is not None
+
+
+def toLayout(x, pad, wp):
+    """NCHW -> (N/G, HP*C, G*WP + pad lanes) with G = 128/WP interleaved
+    images, top halo of ``pad[0]`` rows.  Returns (xT, G, HP)."""
+    n, c, h, w = x.shape
+    g = LANES // wp
+
+    nb = -(-n // g)
+    xp = jnp.pad(x, ((0, nb * g - n), (0, 0), (pad[0], 0), (pad[1], wp - w - pad[1])))
+    hp = xp.shape[2]
+
+    # (NB, G, C, HP, WP) -> (NB, HP, C, G, WP) -> (NB, HP*C, G*WP)
+    xT = xp.reshape(nb, g, c, hp, wp).transpose(0, 3, 2, 1, 4)
+    return xT.reshape(nb, hp * c, g * wp), g, hp
+
+
+def fromLayout(out, n, co, oh, ow, g, wp):
+    """(NB, OHP*CO, 128) -> NCHW, inverse of ``toLayout`` (minus halo)."""
+    nb, rows, _ = out.shape
+    ohp = rows // co
+
+    out = out.reshape(nb, ohp, co, g, wp).transpose(0, 3, 2, 1, 4)
+    return out.reshape(nb * g, co, ohp, wp)[:n, :, :oh, :ow]
+
+
+def conv2d(x, w, pad=(0, 0), nrows=None, interpret=False):
+    """NCHW stride-1 conv through the (H,C)-sublane kernel."""
+    n, c, h, wd = x.shape
+    co, _, kh, kw = w.shape
+
+    oh = h + 2 * pad[0] - kh + 1
+    ow = wd + 2 * pad[1] - kw + 1
+
+    wp = _subBlock(wd, pad[1])
+
+    if nrows is None:
+        tuned = _tuned.get((tuple(x.shape), tuple(w.shape), tuple(pad),
+                            np.dtype(x.dtype).str))
+        nrows = tuned[0] if tuned is not None else None
+
+    if nrows is None:
+        nrows = _pickRows(c, co, kh, kw, oh, x.dtype.itemsize)
+        if nrows is None:
+            raise ValueError("no VMEM-feasible tiling for %s conv %s" % (x.shape, w.shape))
+
+    nTiles = -(-oh // nrows)
+
+    xT, g, hp = toLayout(x, pad, wp)
+
+    # rows the last tile's DMA touches + the dx-shift halo lanes
+    rowsNeeded = (nTiles - 1) * nrows + nrows + kh - 1
+    if hp < rowsNeeded:
+        xT = jnp.pad(xT, ((0, 0), (0, (rowsNeeded - hp) * c), (0, 0)))
+
+    # Mosaic requires 128-aligned DMA lane starts, so the kw column shifts
+    # are materialised up front as XLA copies (HBM-bandwidth, no VPU): copy
+    # dx holds lane l = original lane l+dx.  Cross-image contamination at
+    # block-local columns >= wp-dx only reaches output columns >= ow, which
+    # fromLayout discards.
+    xT = jnp.pad(xT, ((0, 0), (0, 0), (0, kw - 1)))
+    xT = jnp.stack([xT[:, :, dx:dx + LANES] for dx in range(kw)])
+
+    # filter (co, c, kh, kw) -> (kw, co, kh*c): dx-major, (kh, c) contraction
+    wk = w.transpose(3, 0, 2, 1).reshape(kw, co, kh * c)
+
+    out = _convHC(xT, wk, kh=kh, kw=kw, c=c, co=co,
+                  nrows=nrows, nTiles=nTiles, interpret=interpret)
+
+    return fromLayout(out, n, co, oh, ow, g, wp)
+
+
+_tuned = {}
+
+
+def autotune(xshape, wshape, pad=(0, 0), dtype=np.float32, iters=6, maxCandidates=5):
+    """Time feasible nrows tilings on device; cache per signature."""
+    import time
+
+    key = (tuple(xshape), tuple(wshape), tuple(pad), np.dtype(dtype).str)
+    if key in _tuned:
+        return _tuned[key]
+
+    n, c, h, wd = xshape
+    co, _, kh, kw = wshape
+    oh = h + 2 * pad[0] - kh + 1
+
+    itemsize = np.dtype(dtype).itemsize
+
+    x = jnp.zeros(xshape, dtype)
+    w = jnp.zeros(wshape, dtype)
+
+    feasible = [r for r in range(1, min(oh, 16) + 1)
+                if _vmemBytes(c, co, kh, kw, r, itemsize) <= 10 * 2 ** 20]
+    feasible.sort(key=lambda r: (-(-oh // r) * r / oh, -r))
+
+    best, bestParams = float("inf"), None
+
+    for nrows in feasible[:maxCandidates]:
+        try:
+            @jax.jit
+            def chained(x, w, nrows=nrows):
+                acc = jnp.zeros((8, ), jnp.float32)
+                for i in range(iters):
+                    out = conv2d(x, w + jnp.asarray(i, dtype), pad, nrows=nrows)
+                    acc += out.ravel()[:8].astype(jnp.float32)
+                return acc
+
+            np.asarray(chained(x, w).ravel()[:1])
+
+            start = time.perf_counter()
+            for _ in range(2):
+                out = chained(x, w)
+            np.asarray(out.ravel()[:1])
+            secs = (time.perf_counter() - start) / 2 / iters
+
+        except Exception:
+            continue
+
+        if secs < best:
+            best, bestParams = secs, (nrows, )
+
+    _tuned[key] = bestParams
+    return bestParams

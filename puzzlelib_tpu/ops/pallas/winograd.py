@@ -1,0 +1,450 @@
+"""Fused Winograd F(2x2, 3x3) convolution for the TPU MXU.
+
+The 3x3 stride-1 convs that dominate ResNet/VGG/UNet bodies run at ~40% of
+the bf16 roofline through XLA's implicit-GEMM lowering, and direct Pallas
+schedules measured no better: at C = CO >= 128 the MXU work per byte is
+simply too low.  Winograd changes the arithmetic instead of the schedule -
+each 4x4 input tile (stride 2) yields a 2x2 output tile through
+
+    Y = A^T [ (G g G^T) . (B^T d B) ] A
+
+with the elementwise product batched over channels as 16 GEMMs of
+contraction depth C: 2.25x fewer MXU FLOPs than the direct conv.  The cuDNN
+conv binding ships the same trade as its WINOGRAD algo family
+(/root/reference/Cuda/Source/Libs/CuDnn.c:1155-1220); here the transform
+pipeline is fused into one Pallas kernel so the 4x transform-domain
+inflation never touches HBM:
+
+- Entry is four XLA strided slices of the padded NHWC input
+  (``xl[:, ap::2, bp::2, :]``): each phase slab flattens its (i, j) tile
+  grid with pitch TWP = TW + 2 for free (the full strided-slice row), so the
+  whole entry pass is pad + 4 granule-C strided copies at HBM speed - not
+  the 30 GB/s monolithic transpose XLA emits for the phase split.
+- Inside the kernel every Winograd tap d[a][b] of a block of MB = bi*TWP
+  tiles is a *sublane-offset alias* of a phase slab - offset
+  (a//2)*TWP + b//2 - so patch extraction costs nothing.
+- The B^T d B transform is two butterfly stages of +/- adds on (MB, C)
+  blocks (on the VPU, in the input dtype: bf16 halves the VMEM traffic of
+  the f32 variant and costs ~half a mantissa bit on top of Winograd's own
+  bit); each of the 16 (xi, nu) products is one MXU dot against the
+  resident transformed filter U[xi nu] (C, CO).
+- The inverse transform A^T m A materialises the 16 m blocks once and
+  computes each output phase as a single fused 9-term VPU combine - not 37
+  f32 read-modify-writes of the accumulator variant (measured ~20% slower).
+- Output phases are written by an in-kernel strided DMA straight into a
+  (N, OH/2, 2, TWP, 2, CO) view of the padded-NHWC result, double-buffered
+  across grid steps; the exit pass is then a plain crop.
+
+bf16 only (the MXU path); f32 is compiled for exactness tests.  Winograd
+costs ~1 extra mantissa bit vs the direct conv (measured ~6e-3 max rel err
+on randn vs the f32 oracle, direct bf16 ~3e-3).  3x3, stride 1, dilation 1,
+groups 1.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _fetchRows(bi, twp):
+    """Sublane rows of one phase-slab DMA: (bi+1)*twp + 1 for the (1, 1)
+    tap of the last tile, rounded up to the 8-sublane granule."""
+    return -(-((bi + 1) * twp + 1) // 8) * 8
+
+# A^T of F(2x2, 3x3); B^T/G live implicitly in the butterflies / filter pass
+_AT = ((1, 1, 1, 0), (0, 1, -1, -1))
+_G = np.array([[1, 0, 0], [.5, .5, .5], [.5, -.5, .5], [0, 0, 1]], np.float64)
+
+
+def _kernel(xRef, uRef, outRef, buf, t1, m, yBuf, sems, osems, *,
+            bi, twp, mb, cb, co, nBlocks, nCc, outDtype):
+    n, blk, cc = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    step = (n * nBlocks + blk) * nCc + cc
+    total = pl.num_programs(0) * nBlocks * nCc
+
+    rows = _fetchRows(bi, twp)
+
+    def fetch(slot, nI, blkI, ccI):
+        return [
+            pltpu.make_async_copy(
+                xRef.at[p, nI, pl.ds(blkI * bi * twp, rows),
+                        pl.ds(ccI * cb, cb)],
+                buf.at[slot, p],
+                sems.at[slot, p],
+            )
+            for p in range(4)
+        ]
+
+    slot = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _():
+        for cp in fetch(slot, n, blk, cc):
+            cp.start()
+
+    nxt = step + 1
+    ccN = jax.lax.rem(nxt, nCc)
+    blkN = jax.lax.rem(nxt // nCc, nBlocks)
+    nN = nxt // (nCc * nBlocks)
+
+    @pl.when(nxt < total)
+    def _():
+        for cp in fetch(1 - slot, nN, blkN, ccN):
+            cp.start()
+
+    for cp in fetch(slot, n, blk, cc):
+        cp.wait()
+
+    # Winograd tap d[a][b]: pure sublane-offset alias into phase (a%2, b%2),
+    # in the input dtype (bf16 butterflies: half the VMEM traffic of f32)
+    def d(a, b):
+        off = (a // 2) * twp + (b // 2)
+        return buf[slot, (a % 2) * 2 + (b % 2), pl.ds(off, mb), :]
+
+    # stage 1: B^T along the a (row) axis, one (MB, cb) block per (x, b)
+    for b in range(4):
+        d0, d1, d2, d3 = d(0, b), d(1, b), d(2, b), d(3, b)
+        t1[0 * 4 + b] = d0 - d2
+        t1[1 * 4 + b] = d1 + d2
+        t1[2 * 4 + b] = d2 - d1
+        t1[3 * 4 + b] = d1 - d3
+
+    # stage 2 (B along b) + the 16 GEMMs; m blocks materialise once per cc
+    # chunk and the A^T m A inverse runs as fused 9-term combines below -
+    # measurably cheaper than 37 f32 accumulator read-modify-writes
+    for xi in range(4):
+        tb0, tb1, tb2, tb3 = (t1[xi * 4 + b] for b in range(4))
+
+        for nu, expr in enumerate((tb0 - tb2, tb1 + tb2, tb2 - tb1, tb1 - tb3)):
+            uChunk = uRef[xi * 4 + nu, pl.ds(cc * cb, cb), :]
+            part = jnp.dot(expr, uChunk, preferred_element_type=jnp.float32,
+                           precision=(jax.lax.Precision.HIGHEST
+                                      if outDtype == jnp.float32
+                                      else jax.lax.Precision.DEFAULT))
+
+            if nCc == 1:
+                m[xi * 4 + nu] = part
+            else:
+                @pl.when(cc == 0)
+                def _(part=part, k=xi * 4 + nu):
+                    m[k] = part
+
+                @pl.when(cc != 0)
+                def _(part=part, k=xi * 4 + nu):
+                    m[k] += part
+
+    @pl.when(cc == nCc - 1)
+    def _():
+        # output block index among n*nBlocks emitted blocks
+        oStep = n * nBlocks + blk
+        oSlot = jax.lax.rem(oStep, 2)
+
+        # the slot's previous strided write (2 output steps ago) must have
+        # drained before its yBuf half is overwritten
+        @pl.when(oStep >= 2)
+        def _():
+            for p in range(4):
+                pltpu.make_async_copy(
+                    yBuf.at[oSlot, p], outRef.at[n, pl.ds(blk * bi, bi),
+                                                 p // 2, :, p % 2, :],
+                    osems.at[oSlot, p]).wait()
+
+        # A^T m A: output phase (ap, bp) is a fused +/- combine of the m
+        # blocks with nonzero A^T coefficients
+        for ap in range(2):
+            for bp in range(2):
+                y = None
+                for xi in range(4):
+                    if _AT[ap][xi] == 0:
+                        continue
+                    for nu in range(4):
+                        if _AT[bp][nu] == 0:
+                            continue
+                        term = m[xi * 4 + nu]
+                        if _AT[ap][xi] * _AT[bp][nu] < 0:
+                            term = -term
+                        y = term if y is None else y + term
+
+                yBuf[oSlot, ap * 2 + bp] = y.astype(outDtype).reshape(bi, twp, co)
+
+        for p in range(4):
+            pltpu.make_async_copy(
+                yBuf.at[oSlot, p], outRef.at[n, pl.ds(blk * bi, bi),
+                                             p // 2, :, p % 2, :],
+                osems.at[oSlot, p]).start()
+
+        # drain every in-flight write before the kernel retires
+        @pl.when(oStep == pl.num_programs(0) * nBlocks - 1)
+        def _():
+            for p in range(4):
+                pltpu.make_async_copy(
+                    yBuf.at[oSlot, p], outRef.at[n, pl.ds(blk * bi, bi),
+                                                 p // 2, :, p % 2, :],
+                    osems.at[oSlot, p]).wait()
+
+            @pl.when(oStep >= 1)
+            def _():
+                prev = oStep - 1
+                blkP = jax.lax.rem(prev, nBlocks)
+                nP = prev // nBlocks
+
+                for p in range(4):
+                    pltpu.make_async_copy(
+                        yBuf.at[1 - oSlot, p],
+                        outRef.at[nP, pl.ds(blkP * bi, bi), p // 2, :, p % 2, :],
+                        osems.at[1 - oSlot, p]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("bi", "twp", "cb", "co",
+                                             "nBlocks", "nCc", "interpret"))
+def _winogradHC(xs, u, *, bi, twp, cb, co, nBlocks, nCc, interpret=False):
+    """xs (4, N, rows, C) phase slabs (rows = flattened (i, j) tiles with
+    pitch twp); u (16, C, CO) transformed filter.  Returns the padded
+    output as a (N, nBlocks*bi, 2, twp, 2, CO) phase-interleaved NHWC view
+    (row 2i+ap, col 2j+bp at [n, i, ap, j, bp, :])."""
+    n = xs.shape[1]
+    mb = bi * twp
+
+    return pl.pallas_call(
+        functools.partial(
+            _kernel, bi=bi, twp=twp, mb=mb, cb=cb, co=co,
+            nBlocks=nBlocks, nCc=nCc, outDtype=xs.dtype,
+        ),
+        grid=(n, nBlocks, nCc),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),       # phases in HBM, manual DMA
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # filter fully resident:
+            # a (16, cb, co) blocked spec would re-DMA 4 MB per cc step
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # strided manual DMA
+        out_shape=jax.ShapeDtypeStruct((n, nBlocks * bi, 2, twp, 2, co), xs.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, _fetchRows(bi, twp), cb), xs.dtype),
+            pltpu.VMEM((16, mb, cb), xs.dtype),
+            pltpu.VMEM((16, mb, co), jnp.float32),
+            pltpu.VMEM((2, 4, bi, twp, co), xs.dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * nBlocks * nCc * 16 * mb * cb * co,
+            bytes_accessed=int(xs.size * xs.dtype.itemsize * (bi + 1) / bi
+                               + u.size * u.dtype.itemsize
+                               + n * nBlocks * 4 * mb * co * xs.dtype.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xs, u)
+
+
+def _vmemBytes(bi, twp, c, cb, co, itemsize):
+    mb = bi * twp
+
+    return (2 * 4 * _fetchRows(bi, twp) * cb * itemsize  # phase double buffers
+            + 16 * mb * cb * itemsize                    # stage-1 butterflies
+            + 16 * mb * co * 4                           # m blocks, f32
+            + 2 * 4 * mb * co * itemsize                 # double-buffered out
+            + 16 * c * co * itemsize)                    # fully resident filter
+
+
+def _pickBlock(th, twp, c, cb, co, itemsize, vmemBudget=13 * 2 ** 20):
+    """Largest tile-row block under the VMEM budget (MB >= ~128 for the MXU,
+    minimal padded-row overhead)."""
+    best, bestBi = None, None
+
+    for bi in range(min(th, 16), 0, -1):
+        if _vmemBytes(bi, twp, c, cb, co, itemsize) > vmemBudget:
+            continue
+
+        nBlocks = -(-th // bi)
+        cand = (nBlocks * bi / th, -min(bi * twp, 256))
+
+        if best is None or cand < best:
+            best, bestBi = cand, bi
+
+    return bestBi
+
+
+def applicable(xshape, wshape, stride, pad, dilation, groups, dtype=jnp.bfloat16):
+    """Static eligibility (NCHW shapes): 3x3, stride 1, C/CO multiples of 128."""
+    if len(xshape) != 4 or groups != 1:
+        return False
+
+    if any(s != 1 for s in stride) or any(d != 1 for d in dilation):
+        return False
+
+    n, c, h, w = xshape
+    co, ci, kh, kw = wshape
+
+    if (kh, kw) != (3, 3) or c % LANES != 0 or co % LANES != 0:
+        return False
+
+    oh = h + 2 * pad[0] - 2
+    ow = w + 2 * pad[1] - 2
+    if oh < 2 or ow < 2:
+        return False
+
+    th, tw = -(-oh // 2), -(-ow // 2)
+    cb = _chunkC(c)
+    itemsize = np.dtype(dtype).itemsize
+
+    return _pickBlock(th, tw + 2, c, cb, co, itemsize) is not None
+
+
+def _chunkC(c):
+    """Input-channel chunk: biggest 128-multiple divisor of c up to 256."""
+    return 256 if c % 256 == 0 else LANES
+
+
+def _filterTransform(w):
+    """(CO, C, 3, 3) -> U (16, C, CO): G g G^T per (c, o), f32 exact
+    (G entries are 0/1/0.5)."""
+    g = jnp.asarray(_G, jnp.float32)
+    u = jnp.einsum("xr,ocrs,ys->xyco", g, w.astype(jnp.float32), g)
+    return u.reshape(16, w.shape[1], w.shape[0]).astype(w.dtype)
+
+
+def conv2dNHWC(x, w, pad=(0, 0), bi=None, interpret=False):
+    """NHWC 3x3 stride-1 conv through the fused Winograd kernel; w is OIHW."""
+    n, h, wd, c = x.shape
+    co = w.shape[0]
+
+    oh, ow = h + 2 * pad[0] - 2, wd + 2 * pad[1] - 2
+    th, tw = -(-oh // 2), -(-ow // 2)
+    twp = tw + 2                      # strided-slice pitch: wp // 2
+    cb = _chunkC(c)
+
+    if bi is None:
+        tuned = _tuned.get((tuple(x.shape), tuple(w.shape), tuple(pad),
+                            np.dtype(x.dtype).str))
+        bi = tuned[0] if tuned is not None else None
+
+    if bi is None:
+        bi = _pickBlock(th, twp, c, cb, co, x.dtype.itemsize)
+        if bi is None:
+            raise ValueError("no VMEM-feasible block for %s conv %s" % (x.shape, w.shape))
+
+    nBlocks = -(-th // bi)
+    nCc = c // cb
+
+    # pad so phase slabs cover rows 2i+a for i <= nBlocks*bi + 1 (the +1 is
+    # the 8-element tail the last slab's rounded DMA touches), cols 2j+b for
+    # j < twp; phase (ap, bp) then flattens its full strided-slice rows with
+    # pitch twp at zero cost (cols j >= tw are garbage, cropped on exit)
+    hp = 2 * (nBlocks * bi + 2)
+    wp = 2 * twp
+    xl = jnp.pad(x, ((0, 0), (pad[0], hp - h - pad[0]),
+                     (pad[1], wp - wd - pad[1]), (0, 0)))
+
+    # entry: 4 granule-C strided slices, each an HBM-speed copy
+    xs = jnp.stack([
+        xl[:, ap::2, bp::2, :].reshape(n, (hp // 2) * twp, c)
+        for ap in range(2) for bp in range(2)
+    ])
+
+    rowsNeeded = (nBlocks - 1) * bi * twp + _fetchRows(bi, twp)
+    if xs.shape[2] < rowsNeeded:
+        xs = jnp.pad(xs, ((0, 0), (0, 0), (0, rowsNeeded - xs.shape[2]), (0, 0)))
+
+    u = _filterTransform(w)
+
+    out = _winogradHC(xs, u, bi=bi, twp=twp, cb=cb, co=co,
+                      nBlocks=nBlocks, nCc=nCc, interpret=interpret)
+
+    # exit: the kernel already interleaved phases into padded NHWC - crop
+    return out.reshape(n, nBlocks * bi * 2, twp * 2, co)[:, :oh, :ow, :]
+
+
+def conv2d(x, w, pad=(0, 0), bi=None, interpret=False):
+    """NCHW wrapper around the NHWC core (transposes fuse/cancel inside
+    larger jitted programs)."""
+    out = conv2dNHWC(x.transpose(0, 2, 3, 1), w, pad, bi=bi, interpret=interpret)
+    return out.transpose(0, 3, 1, 2)
+
+
+_tuned = {}
+
+
+def autotune(xshape, wshape, pad=(0, 0), dtype=jnp.bfloat16, iters=6, maxCandidates=4):
+    """Time feasible bi blocks on device; cache per signature (NHWC xshape)."""
+    import time
+
+    key = (tuple(xshape), tuple(wshape), tuple(pad), np.dtype(dtype).str)
+    if key in _tuned:
+        return _tuned[key]
+
+    n, h, wd, c = xshape
+    co = wshape[0]
+    oh, ow = h + 2 * pad[0] - 2, wd + 2 * pad[1] - 2
+    th, twp = -(-oh // 2), -(-ow // 2) + 2
+    cb = _chunkC(c)
+    itemsize = np.dtype(dtype).itemsize
+
+    x = jnp.zeros(xshape, dtype)
+    w = jnp.zeros(wshape, dtype)
+
+    feasible = [bi for bi in range(1, min(th, 16) + 1)
+                if _vmemBytes(bi, twp, c, cb, co, itemsize) <= 13 * 2 ** 20]
+    feasible.sort(key=lambda bi: (-(-th // bi) * bi / th, abs(bi * twp - 256)))
+
+    best, bestParams = float("inf"), None
+
+    for bi in feasible[:maxCandidates]:
+        try:
+            @jax.jit
+            def chained(x, w, bi=bi):
+                acc = jnp.zeros((8, ), jnp.float32)
+                for i in range(iters):
+                    out = conv2dNHWC(x, w + jnp.asarray(i, dtype), pad, bi=bi)
+                    acc += out.ravel()[:8].astype(jnp.float32)
+                return acc
+
+            np.asarray(chained(x, w).ravel()[:1])
+
+            start = time.perf_counter()
+            for _ in range(2):
+                out = chained(x, w)
+            np.asarray(out.ravel()[:1])
+            secs = (time.perf_counter() - start) / 2 / iters
+
+        except Exception:
+            continue
+
+        if secs < best:
+            best, bestParams = secs, (bi, )
+
+    _tuned[key] = bestParams
+    return bestParams
+
+
+_probeResults = {}
+
+
+def probeCompile(xshape, wshape, pad, dtype):
+    """Eager one-time compile probe (see pallas.conv.probeCompile);
+    xshape is NCHW (the dispatch-facing signature)."""
+    key = (tuple(xshape), tuple(wshape), tuple(pad), np.dtype(dtype).str)
+    cached = _probeResults.get(key)
+    if cached is not None:
+        return cached
+
+    try:
+        x = jax.ShapeDtypeStruct(tuple(xshape), dtype)
+        w = jax.ShapeDtypeStruct(tuple(wshape), dtype)
+        jax.jit(lambda a, b: conv2d(a, b, tuple(pad))).lower(x, w).compile()
+        ok = True
+    except Exception:
+        ok = False
+
+    _probeResults[key] = ok
+    return ok

@@ -278,7 +278,17 @@ class _View(GPUArray):
         v = self._base.version
 
         if self._cachev != v:
-            self._cache = self._compute()
+            val = self._compute()
+
+            # computing a view of a CONCRETE root inside an active jax trace
+            # stages the op and yields a tracer; caching it would leak that
+            # tracer into later traces (the root's version never changes, so
+            # the stale tracer would be served forever) - recompute instead
+            import jax as _jax
+            if isinstance(val, _jax.core.Tracer) and not isinstance(self._base.jax, _jax.core.Tracer):
+                return val
+
+            self._cache = val
             self._cachev = v
 
         return self._cache

@@ -87,3 +87,84 @@ def testPallasConvApplicable():
     assert not applicable((128, 32, 64, 64), (64, 32, 11, 11), (2, 2), (0, 0), (1, 1), 1)
     assert not applicable((128, 3, 64, 64), (64, 3, 11, 11), (1, 1), (0, 0), (1, 1), 1)  # c % 8
     assert not applicable((8, 16, 8, 8), (16, 16, 3, 3), (1, 1), (0, 0), (1, 1), 2)      # groups
+
+
+def testConv3ChwInterpret():
+    """Channels-in-sublanes small-kernel conv vs a float64 host oracle."""
+    from puzzlelib_tpu.ops.pallas import conv3
+
+    np.random.seed(6)
+
+    for (n, c, h, w, co, kh, kw, p) in [
+        (2, 16, 14, 12, 24, 3, 3, 1),
+        (2, 16, 9, 7, 8, 5, 5, 2),
+        (1, 16, 8, 8, 16, 1, 1, 0),
+        (2, 16, 13, 11, 16, 3, 3, 0),
+    ]:
+        x = jnp.asarray(np.random.randn(n, c, h, w), jnp.float32)
+        wt = jnp.asarray(np.random.randn(co, c, kh, kw) * 0.1, jnp.float32)
+
+        out = conv3.conv2d(x, wt, (p, p), interpret=True)
+
+        oh, ow = h + 2 * p - kh + 1, w + 2 * p - kw + 1
+        xn = np.pad(np.asarray(x, np.float64), ((0, 0), (0, 0), (p, p), (p, p)))
+        wn = np.asarray(wt, np.float64)
+
+        ref = np.zeros((n, co, oh, ow))
+        for i in range(kh):
+            for j in range(kw):
+                ref += np.einsum("nchw,oc->nohw", xn[:, :, i:i + oh, j:j + ow], wn[:, :, i, j])
+
+        assert out.shape == (n, co, oh, ow)
+        assert np.abs(np.asarray(out) - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
+
+
+def testConv3Applicable():
+    from puzzlelib_tpu.ops.pallas.conv3 import applicable
+
+    # ResNet body shapes are the target
+    assert applicable((32, 256, 56, 56), (256, 256, 3, 3), (1, 1), (1, 1), (1, 1), 1)
+    assert applicable((32, 512, 28, 28), (512, 512, 3, 3), (1, 1), (1, 1), (1, 1), 1)
+    # stride / groups / wide rows fall back
+    assert not applicable((32, 256, 56, 56), (256, 256, 3, 3), (2, 2), (1, 1), (1, 1), 1)
+    assert not applicable((32, 256, 56, 56), (256, 128, 3, 3), (1, 1), (1, 1), (1, 1), 2)
+    assert not applicable((32, 64, 224, 224), (64, 64, 3, 3), (1, 1), (1, 1), (1, 1), 1)
+
+
+def testWinogradInterpret():
+    """Fused Winograd F(2x2,3x3) kernel vs a float64 host oracle."""
+    from puzzlelib_tpu.ops.pallas import winograd
+
+    np.random.seed(7)
+
+    for (n, c, h, w, co, p) in [
+        (1, 128, 8, 8, 128, 1),
+        (2, 128, 9, 7, 128, 0),
+        (1, 128, 6, 10, 128, 1),
+    ]:
+        x = jnp.asarray(np.random.randn(n, c, h, w), jnp.float32)
+        wt = jnp.asarray(np.random.randn(co, c, 3, 3) * 0.1, jnp.float32)
+
+        out = winograd.conv2d(x, wt, (p, p), interpret=True)
+
+        oh, ow = h + 2 * p - 2, w + 2 * p - 2
+        xn = np.pad(np.asarray(x, np.float64), ((0, 0), (0, 0), (p, p), (p, p)))
+        wn = np.asarray(wt, np.float64)
+
+        ref = np.zeros((n, co, oh, ow))
+        for i in range(3):
+            for j in range(3):
+                ref += np.einsum("nchw,oc->nohw", xn[:, :, i:i + oh, j:j + ow], wn[:, :, i, j])
+
+        assert out.shape == (n, co, oh, ow)
+        assert np.abs(np.asarray(out) - ref).max() < 1e-3 * max(1.0, np.abs(ref).max())
+
+
+def testWinogradApplicable():
+    from puzzlelib_tpu.ops.pallas.winograd import applicable
+
+    assert applicable((32, 256, 56, 56), (256, 256, 3, 3), (1, 1), (1, 1), (1, 1), 1)
+    assert applicable((32, 128, 112, 112), (128, 128, 3, 3), (1, 1), (1, 1), (1, 1), 1)
+    assert not applicable((32, 256, 56, 56), (256, 256, 3, 3), (2, 2), (1, 1), (1, 1), 1)
+    assert not applicable((32, 64, 56, 56), (64, 64, 3, 3), (1, 1), (1, 1), (1, 1), 1)  # c % 128
+    assert not applicable((32, 256, 56, 56), (256, 256, 5, 5), (2, 2), (1, 1), (1, 1), 1)

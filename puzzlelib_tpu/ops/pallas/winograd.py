@@ -219,11 +219,11 @@ def _winogradHC(xs, u, *, bi, twp, cb, co, nBlocks, nCc, interpret=False):
         ),
         grid=(n, nBlocks, nCc),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # phases in HBM, manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),       # phases in HBM, manual DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),      # filter fully resident:
             # a (16, cb, co) blocked spec would re-DMA 4 MB per cc step
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # strided manual DMA
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # strided manual DMA
         out_shape=jax.ShapeDtypeStruct((n, nBlocks * bi, 2, twp, 2, co), xs.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, 4, _fetchRows(bi, twp), cb), xs.dtype),
@@ -427,6 +427,289 @@ def autotune(xshape, wshape, pad=(0, 0), dtype=jnp.bfloat16, iters=6, maxCandida
     return bestParams
 
 
+# ---------------------------------------------------------------------------
+# backward passes in the transform domain
+#
+# bwd-data for stride-1 is the forward kernel on the 180-degree-rotated,
+# io-swapped filter.  bwd-filter contracts over TILES instead of channels:
+#
+#     dU[xi nu] = V[xi nu]^T Mbar[xi nu],   dW = G^T dU G
+#
+# with V = B^T d B (input tiles, as forward) and Mbar = A dY A^T (gradient
+# tiles, no halo).  Each of the 16 dots is (C, T) x (T, CO) - M = C,
+# N = CO, K = n*th*tw tiles: ideal MXU geometry, unlike the direct
+# bwd-filter GEMM whose output is only CO x C*9.  Matches the role of
+# cuDNN's WINOGRAD_NONFUSED bwd-filter algo
+# (/root/reference/Cuda/Source/Libs/CuDnn.c convNdBackwardParams).
+# ---------------------------------------------------------------------------
+
+# nonzero A^T columns: Mbar[xi nu] = sum over (ap in _ACOL[xi], bp in
+# _ACOL[nu]) of sign * dY[ap bp]
+_ACOL = tuple(
+    tuple((ap, _AT[ap][xi]) for ap in range(2) if _AT[ap][xi] != 0)
+    for xi in range(4)
+)
+
+
+def _fgKernel(xRef, yRef, outRef, xBuf, yBuf, t1, acc, xSems, ySems, *,
+              bi, twp, mb, c, cob, nBlocks, nN):
+    coc, nI, blk = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    step = (coc * nN + nI) * nBlocks + blk
+    total = pl.num_programs(0) * nN * nBlocks
+
+    rowsX = _fetchRows(bi, twp)
+    rowsY = -(-mb // 8) * 8
+
+    def fetch(slot, cocI, nII, blkI):
+        xs = [
+            pltpu.make_async_copy(
+                xRef.at[p, nII, pl.ds(blkI * mb, rowsX), :],
+                xBuf.at[slot, p], xSems.at[slot, p])
+            for p in range(4)
+        ]
+        ys = [
+            pltpu.make_async_copy(
+                yRef.at[p, nII, pl.ds(blkI * mb, rowsY),
+                        pl.ds(cocI * cob, cob)],
+                yBuf.at[slot, p], ySems.at[slot, p])
+            for p in range(4)
+        ]
+        return xs + ys
+
+    slot = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _():
+        for cp in fetch(slot, coc, nI, blk):
+            cp.start()
+
+    nxt = step + 1
+    blkN = jax.lax.rem(nxt, nBlocks)
+    nIN = jax.lax.rem(nxt // nBlocks, nN)
+    cocN = nxt // (nBlocks * nN)
+
+    @pl.when(nxt < total)
+    def _():
+        for cp in fetch(1 - slot, cocN, nIN, blkN):
+            cp.start()
+
+    for cp in fetch(slot, coc, nI, blk):
+        cp.wait()
+
+    def d(a, b):
+        off = (a // 2) * twp + (b // 2)
+        return xBuf[slot, (a % 2) * 2 + (b % 2), pl.ds(off, mb), :]
+
+    first = jnp.logical_and(nI == 0, blk == 0)
+
+    # per xi: stage-1 butterflies into a (4, mb, c) scratch (kept small so
+    # C = 512 fits VMEM), then the nu combines, Mbar, and the tile dot
+    for xi in range(4):
+        for b in range(4):
+            if xi == 0:
+                t1[b] = d(0, b) - d(2, b)
+            elif xi == 1:
+                t1[b] = d(1, b) + d(2, b)
+            elif xi == 2:
+                t1[b] = d(2, b) - d(1, b)
+            else:
+                t1[b] = d(1, b) - d(3, b)
+
+        tb0, tb1, tb2, tb3 = t1[0], t1[1], t1[2], t1[3]
+
+        for nu, v in enumerate((tb0 - tb2, tb1 + tb2, tb2 - tb1, tb1 - tb3)):
+            mbar = None
+            for ap, sa in _ACOL[xi]:
+                for bp, sb in _ACOL[nu]:
+                    term = yBuf[slot, ap * 2 + bp, pl.ds(0, mb), :]
+                    if sa * sb < 0:
+                        term = -term
+                    mbar = term if mbar is None else mbar + term
+
+            part = jax.lax.dot_general(
+                v, mbar, (((0, ), (0, )), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=(jax.lax.Precision.HIGHEST
+                           if v.dtype == jnp.float32
+                           else jax.lax.Precision.DEFAULT))
+
+            k = xi * 4 + nu
+
+            @pl.when(first)
+            def _(part=part, k=k):
+                acc[k] = part
+
+            @pl.when(jnp.logical_not(first))
+            def _(part=part, k=k):
+                acc[k] += part
+
+    @pl.when(jnp.logical_and(nI == nN - 1, blk == nBlocks - 1))
+    def _():
+        outRef[...] = acc[...]
+
+
+@functools.partial(jax.jit, static_argnames=("bi", "twp", "cob",
+                                             "nBlocks", "interpret"))
+def _winogradFG(xs, ys, *, bi, twp, cob, nBlocks, interpret=False):
+    """xs (4, N, rowsX, C) input phase slabs (pitch twp, with halo);
+    ys (4, N, rowsY, CO) gradient phase slabs (same pitch, no halo).
+    Returns dU (16, C, CO) f32."""
+    n, c, co = xs.shape[1], xs.shape[3], ys.shape[3]
+    mb = bi * twp
+
+    return pl.pallas_call(
+        functools.partial(
+            _fgKernel, bi=bi, twp=twp, mb=mb, c=c, cob=cob,
+            nBlocks=nBlocks, nN=n,
+        ),
+        grid=(co // cob, n, nBlocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((16, c, cob), lambda coc, nI, blk: (0, 0, coc)),
+        out_shape=jax.ShapeDtypeStruct((16, c, co), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, _fetchRows(bi, twp), c), xs.dtype),
+            pltpu.VMEM((2, 4, -(-mb // 8) * 8, cob), ys.dtype),
+            pltpu.VMEM((4, mb, c), xs.dtype),
+            pltpu.VMEM((16, c, cob), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (co // cob) * n * nBlocks * 16 * mb * c * cob,
+            bytes_accessed=int((co // cob) * xs.size * xs.dtype.itemsize
+                               + ys.size * ys.dtype.itemsize
+                               + 16 * c * co * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xs, ys)
+
+
+def _vmemBytesFG(bi, twp, c, cob, itemsize):
+    mb = bi * twp
+
+    return (2 * 4 * _fetchRows(bi, twp) * c * itemsize   # x phase buffers
+            + 2 * 4 * -(-mb // 8) * 8 * cob * itemsize   # dy phase buffers
+            + 4 * mb * c * itemsize                      # per-xi butterflies
+            + 2 * 16 * c * cob * 4)                      # f32 acc + out block
+
+
+def _pickBlockFG(th, twp, c, cob, itemsize, vmemBudget=13 * 2 ** 20):
+    """Largest tile-row block: K (= MB) wants >= ~256 for the tile dots."""
+    best, bestBi = None, None
+
+    for bi in range(min(th, 24), 0, -1):
+        if bi < th and (bi * twp) % 8 != 0:
+            continue
+
+        if _vmemBytesFG(bi, twp, c, cob, itemsize) > vmemBudget:
+            continue
+
+        nBlocks = -(-th // bi)
+        cand = (nBlocks * bi / th, abs(bi * twp - 384))
+
+        if best is None or cand < best:
+            best, bestBi = cand, bi
+
+    return bestBi
+
+
+def filterGradApplicable(xshape, dyshape, stride, pad, dilation, groups,
+                         dtype=jnp.bfloat16):
+    """Static eligibility for the transform-domain bwd-filter (NCHW)."""
+    if len(xshape) != 4 or groups != 1:
+        return False
+
+    if any(s != 1 for s in stride) or any(d != 1 for d in dilation):
+        return False
+
+    n, c, h, w = xshape
+    co = dyshape[1]
+    oh, ow = dyshape[2], dyshape[3]
+
+    if (h + 2 * pad[0] - oh, w + 2 * pad[1] - ow) != (2, 2):   # 3x3 only
+        return False
+
+    if c % LANES != 0 or co % LANES != 0:
+        return False
+
+    th, tw = -(-oh // 2), -(-ow // 2)
+    cob = _chunkC(co)
+    itemsize = np.dtype(dtype).itemsize
+
+    return _pickBlockFG(th, tw + 2, c, cob, itemsize) is not None
+
+
+def filterGradNHWC(x, dy, pad=(0, 0), bi=None, interpret=False):
+    """x (N, H, W, C), dy (N, OH, OW, CO) -> dW (CO, C, 3, 3) f32 through
+    the transform-domain kernel."""
+    n, h, wd, c = x.shape
+    oh, ow, co = dy.shape[1], dy.shape[2], dy.shape[3]
+
+    th, tw = -(-oh // 2), -(-ow // 2)
+    twp = tw + 2
+    cob = _chunkC(co)
+    itemsize = np.dtype(x.dtype).itemsize
+
+    if bi is None:
+        bi = _pickBlockFG(th, twp, c, cob, itemsize)
+        if bi is None:
+            raise ValueError("no VMEM-feasible block for %s filterGrad %s"
+                             % (x.shape, dy.shape))
+
+    nBlocks = -(-th // bi)
+
+    # input phase slabs, exactly as the forward entry
+    hp = 2 * (nBlocks * bi + 2)
+    wp = 2 * twp
+    xl = jnp.pad(x, ((0, 0), (pad[0], hp - h - pad[0]),
+                     (pad[1], wp - wd - pad[1]), (0, 0)))
+    xs = jnp.stack([
+        xl[:, ap::2, bp::2, :].reshape(n, (hp // 2) * twp, c)
+        for ap in range(2) for bp in range(2)
+    ])
+    rowsNeeded = (nBlocks - 1) * bi * twp + _fetchRows(bi, twp)
+    if xs.shape[2] < rowsNeeded:
+        xs = jnp.pad(xs, ((0, 0), (0, 0), (0, rowsNeeded - xs.shape[2]), (0, 0)))
+
+    # gradient phase slabs: same pitch, zero-padded (the zeros null out the
+    # garbage columns of the input slabs in the tile contraction)
+    mb = bi * twp
+    dyl = jnp.pad(dy, ((0, 0), (0, 2 * nBlocks * bi - oh),
+                       (0, 2 * twp - ow), (0, 0)))
+    ys = jnp.stack([
+        dyl[:, ap::2, bp::2, :].reshape(n, nBlocks * mb, co)
+        for ap in range(2) for bp in range(2)
+    ])
+    rowsY = (nBlocks - 1) * mb + -(-mb // 8) * 8
+    if ys.shape[2] < rowsY:
+        ys = jnp.pad(ys, ((0, 0), (0, 0), (0, rowsY - ys.shape[2]), (0, 0)))
+
+    du = _winogradFG(xs, ys, bi=bi, twp=twp, cob=cob,
+                     nBlocks=nBlocks, interpret=interpret)
+
+    # dW = G^T dU G on the (xi, nu) axes - tiny, XLA
+    g = jnp.asarray(_G, jnp.float32)
+    du = du.reshape(4, 4, c, co)
+    return jnp.einsum("xr,ys,xyco->ocrs", g, g, du)
+
+
+def dataGradNHWC(dy, w, pad=(0, 0), bi=None, interpret=False):
+    """bwd-data for the stride-1 3x3 conv: the forward Winograd kernel on
+    the 180-rotated, io-swapped filter.  dy (N, OH, OW, CO), w (CO, C, 3, 3)
+    -> dX (N, H, W, C) where H = OH - 2*pad + 2."""
+    wr = w[:, :, ::-1, ::-1].transpose(1, 0, 2, 3)
+    return conv2dNHWC(dy, wr, (2 - pad[0], 2 - pad[1]), bi=bi,
+                      interpret=interpret)
+
+
 _probeResults = {}
 
 
@@ -442,6 +725,27 @@ def probeCompile(xshape, wshape, pad, dtype):
         x = jax.ShapeDtypeStruct(tuple(xshape), dtype)
         w = jax.ShapeDtypeStruct(tuple(wshape), dtype)
         jax.jit(lambda a, b: conv2d(a, b, tuple(pad))).lower(x, w).compile()
+        ok = True
+    except Exception:
+        ok = False
+
+    _probeResults[key] = ok
+    return ok
+
+
+def probeCompileFG(xshape, dyshape, pad, dtype):
+    """Eager one-time compile probe for the bwd-filter kernel (NCHW)."""
+    key = ("fg", tuple(xshape), tuple(dyshape), tuple(pad), np.dtype(dtype).str)
+    cached = _probeResults.get(key)
+    if cached is not None:
+        return cached
+
+    try:
+        n, c, h, w = xshape
+        co, oh, ow = dyshape[1], dyshape[2], dyshape[3]
+        x = jax.ShapeDtypeStruct((n, h, w, c), dtype)
+        dy = jax.ShapeDtypeStruct((n, oh, ow, co), dtype)
+        jax.jit(lambda a, b: filterGradNHWC(a, b, tuple(pad))).lower(x, dy).compile()
         ok = True
     except Exception:
         ok = False

@@ -160,6 +160,65 @@ def testWinogradInterpret():
         assert np.abs(np.asarray(out) - ref).max() < 1e-3 * max(1.0, np.abs(ref).max())
 
 
+def testWinogradFilterGradInterpret():
+    """Transform-domain bwd-filter vs a float64 host oracle."""
+    from puzzlelib_tpu.ops.pallas import winograd
+
+    np.random.seed(8)
+
+    for (n, c, h, w, co, p) in [
+        (2, 128, 8, 8, 128, 1),
+        (1, 128, 9, 7, 128, 0),
+    ]:
+        oh, ow = h + 2 * p - 2, w + 2 * p - 2
+
+        x = jnp.asarray(np.random.randn(n, h, w, c), jnp.float32)
+        dy = jnp.asarray(np.random.randn(n, oh, ow, co) * 0.1, jnp.float32)
+
+        dw = winograd.filterGradNHWC(x, dy, (p, p), interpret=True)
+
+        xn = np.pad(np.asarray(x, np.float64), ((0, 0), (p, p), (p, p), (0, 0)))
+        dyn = np.asarray(dy, np.float64)
+
+        ref = np.zeros((co, c, 3, 3))
+        for i in range(3):
+            for j in range(3):
+                ref[:, :, i, j] = np.einsum(
+                    "nhwc,nhwo->oc", xn[:, i:i + oh, j:j + ow, :], dyn)
+
+        assert dw.shape == (co, c, 3, 3)
+        assert np.abs(np.asarray(dw) - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
+
+
+def testWinogradDataGradInterpret():
+    """Rotated-filter bwd-data vs a float64 host oracle."""
+    from puzzlelib_tpu.ops.pallas import winograd
+
+    np.random.seed(9)
+
+    n, c, h, w, co, p = 1, 128, 8, 8, 128, 1
+    oh, ow = h + 2 * p - 2, w + 2 * p - 2
+
+    wt = jnp.asarray(np.random.randn(co, c, 3, 3) * 0.1, jnp.float32)
+    dy = jnp.asarray(np.random.randn(n, oh, ow, co), jnp.float32)
+
+    dx = winograd.dataGradNHWC(dy, wt, (p, p), interpret=True)
+
+    # oracle: dX[n, y, x, c] = sum dY[n, y - i + p, x - j + p, o] W[o, c, i, j]
+    dyn = np.pad(np.asarray(dy, np.float64),
+                 ((0, 0), (2 - p, 2 - p), (2 - p, 2 - p), (0, 0)))
+    wn = np.asarray(wt, np.float64)[:, :, ::-1, ::-1]
+
+    ref = np.zeros((n, h, w, c))
+    for i in range(3):
+        for j in range(3):
+            ref += np.einsum("nhwo,oc->nhwc", dyn[:, i:i + h, j:j + w, :],
+                             wn[:, :, i, j])
+
+    assert dx.shape == (n, h, w, c)
+    assert np.abs(np.asarray(dx) - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
+
+
 def testWinogradApplicable():
     from puzzlelib_tpu.ops.pallas.winograd import applicable
 

@@ -15,25 +15,30 @@ conv binding ships the same trade as its WINOGRAD algo family
 pipeline is fused into one Pallas kernel so the 4x transform-domain
 inflation never touches HBM:
 
-- Entry is four XLA strided slices of the padded NHWC input
-  (``xl[:, ap::2, bp::2, :]``): each phase slab flattens its (i, j) tile
-  grid with pitch TWP = TW + 2 for free (the full strided-slice row), so the
-  whole entry pass is pad + 4 granule-C strided copies at HBM speed - not
-  the 30 GB/s monolithic transpose XLA emits for the phase split.
-- Inside the kernel every Winograd tap d[a][b] of a block of MB = bi*TWP
-  tiles is a *sublane-offset alias* of a phase slab - offset
-  (a//2)*TWP + b//2 - so patch extraction costs nothing.
+- Layout: HBM bf16 arrays carry a tiled (8, 128)(2, 1) layout, so any
+  fine-grained phase slice on a sublane-adjacent axis (``x[..., bp::2, :]``
+  or a size-1 slice of an interleaved pair) is either illegal in Mosaic or
+  a ~18 GB/s crawl in XLA.  The entry therefore splits only the ROW phase
+  (two coarse slices with contiguous W*C-granule runs - HBM speed) and
+  keeps the COLUMN phase interleaved in the lane dimension: each slab is
+  (N, TH*TWP, 2C) with rows = flattened (i, j) tiles of pitch TWP = TW+1
+  and lanes = bp*C + channel.
+- The kernel's four phase fetches select (row slab, column parity) as
+  (slab index, 128-aligned lane offset) - both legal, both handled by the
+  DMA engine, overlapped with compute.  Every Winograd tap d[a][b] of a
+  block of MB = bi*TWP tiles is then a *sublane-offset alias* of a phase
+  buffer - offset (a//2)*TWP + b//2 - so patch extraction costs nothing.
 - The B^T d B transform is two butterfly stages of +/- adds on (MB, C)
   blocks (on the VPU, in the input dtype: bf16 halves the VMEM traffic of
   the f32 variant and costs ~half a mantissa bit on top of Winograd's own
   bit); each of the 16 (xi, nu) products is one MXU dot against the
   resident transformed filter U[xi nu] (C, CO).
 - The inverse transform A^T m A materialises the 16 m blocks once and
-  computes each output phase as a single fused 9-term VPU combine - not 37
-  f32 read-modify-writes of the accumulator variant (measured ~20% slower).
-- Output phases are written by an in-kernel strided DMA straight into a
-  (N, OH/2, 2, TWP, 2, CO) view of the padded-NHWC result, double-buffered
-  across grid steps; the exit pass is then a plain crop.
+  computes each output phase as a single fused 9-term VPU combine (not 37
+  f32 read-modify-writes of the accumulator variant); the two column
+  phases of a row slab concatenate on lanes (CO-aligned, free) and the
+  output leaves in the same lane-interleaved slab layout - the exit is a
+  coarse row-granule transpose + crop, again HBM speed.
 
 bf16 only (the MXU path); f32 is compiled for exactness tests.  Winograd
 costs ~1 extra mantissa bit vs the direct conv (measured ~6e-3 max rel err
@@ -62,8 +67,8 @@ _AT = ((1, 1, 1, 0), (0, 1, -1, -1))
 _G = np.array([[1, 0, 0], [.5, .5, .5], [.5, -.5, .5], [0, 0, 1]], np.float64)
 
 
-def _kernel(xRef, uRef, outRef, buf, t1, m, yBuf, sems, osems, *,
-            bi, twp, mb, cb, co, nBlocks, nCc, outDtype):
+def _kernel(xRef, uRef, outRef, buf, t1, m, sems, *,
+            bi, twp, mb, c, cb, co, nBlocks, nCc, outDtype, scheme):
     n, blk, cc = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     step = (n * nBlocks + blk) * nCc + cc
@@ -72,14 +77,16 @@ def _kernel(xRef, uRef, outRef, buf, t1, m, yBuf, sems, osems, *,
     rows = _fetchRows(bi, twp)
 
     def fetch(slot, nI, blkI, ccI):
+        # phase (pa, pb): row slab pa, column parity pb as a 128-aligned
+        # lane offset into the (rows, 2C) slab
         return [
             pltpu.make_async_copy(
-                xRef.at[p, nI, pl.ds(blkI * bi * twp, rows),
-                        pl.ds(ccI * cb, cb)],
-                buf.at[slot, p],
-                sems.at[slot, p],
+                xRef.at[pa, nI, pl.ds(blkI * bi * twp, rows),
+                        pl.ds(pb * c + ccI * cb, cb)],
+                buf.at[slot, pa * 2 + pb],
+                sems.at[slot, pa * 2 + pb],
             )
-            for p in range(4)
+            for pa in range(2) for pb in range(2)
         ]
 
     slot = jax.lax.rem(step, 2)
@@ -116,9 +123,13 @@ def _kernel(xRef, uRef, outRef, buf, t1, m, yBuf, sems, osems, *,
         t1[2 * 4 + b] = d2 - d1
         t1[3 * 4 + b] = d1 - d3
 
-    # stage 2 (B along b) + the 16 GEMMs; m blocks materialise once per cc
-    # chunk and the A^T m A inverse runs as fused 9-term combines below -
-    # measurably cheaper than 37 f32 accumulator read-modify-writes
+    # stage 2 (B along b) + the 16 GEMMs + A^T m A.  scheme "mcat":
+    # materialise the 16 m blocks, compute each output phase as one fused
+    # 9-term combine.  scheme "rmw": accumulate the four output phases as
+    # each dot retires - more scratch passes, but 16*mb*co less VMEM, which
+    # is what makes C = CO = 512 shapes fit with the filter resident.
+    written = set()
+
     for xi in range(4):
         tb0, tb1, tb2, tb3 = (t1[xi * 4 + b] for b in range(4))
 
@@ -129,108 +140,90 @@ def _kernel(xRef, uRef, outRef, buf, t1, m, yBuf, sems, osems, *,
                                       if outDtype == jnp.float32
                                       else jax.lax.Precision.DEFAULT))
 
-            if nCc == 1:
-                m[xi * 4 + nu] = part
+            if scheme == "mcat":
+                targets = [(xi * 4 + nu, part)]
             else:
-                @pl.when(cc == 0)
-                def _(part=part, k=xi * 4 + nu):
-                    m[k] = part
+                targets = [
+                    (ap * 2 + bp,
+                     part if _AT[ap][xi] * _AT[bp][nu] > 0 else -part)
+                    for ap in range(2) if _AT[ap][xi] != 0
+                    for bp in range(2) if _AT[bp][nu] != 0
+                ]
 
-                @pl.when(cc != 0)
-                def _(part=part, k=xi * 4 + nu):
-                    m[k] += part
+            for k, term in targets:
+                if k not in written:
+                    written.add(k)
 
+                    if nCc == 1:
+                        m[k] = term
+                    else:
+                        @pl.when(cc == 0)
+                        def _(term=term, k=k):
+                            m[k] = term
+
+                        @pl.when(cc != 0)
+                        def _(term=term, k=k):
+                            m[k] += term
+                else:
+                    m[k] += term
+
+    # output phase (ap, bp): fused +/- combine of the m blocks under
+    # "mcat"; already accumulated under "rmw"
+    def yPhase(ap, bp):
+        if scheme == "rmw":
+            return m[ap * 2 + bp].astype(outDtype)
+
+        y = None
+        for xi in range(4):
+            if _AT[ap][xi] == 0:
+                continue
+            for nu in range(4):
+                if _AT[bp][nu] == 0:
+                    continue
+                term = m[xi * 4 + nu]
+                if _AT[ap][xi] * _AT[bp][nu] < 0:
+                    term = -term
+                y = term if y is None else y + term
+        return y.astype(outDtype)
+
+    # emit in the same lane-interleaved slab layout: row slab ap, lanes
+    # bp*CO + channel (the concat is CO-aligned on lanes, i.e. free)
     @pl.when(cc == nCc - 1)
     def _():
-        # output block index among n*nBlocks emitted blocks
-        oStep = n * nBlocks + blk
-        oSlot = jax.lax.rem(oStep, 2)
-
-        # the slot's previous strided write (2 output steps ago) must have
-        # drained before its yBuf half is overwritten
-        @pl.when(oStep >= 2)
-        def _():
-            for p in range(4):
-                pltpu.make_async_copy(
-                    yBuf.at[oSlot, p], outRef.at[n, pl.ds(blk * bi, bi),
-                                                 p // 2, :, p % 2, :],
-                    osems.at[oSlot, p]).wait()
-
-        # A^T m A: output phase (ap, bp) is a fused +/- combine of the m
-        # blocks with nonzero A^T coefficients
         for ap in range(2):
-            for bp in range(2):
-                y = None
-                for xi in range(4):
-                    if _AT[ap][xi] == 0:
-                        continue
-                    for nu in range(4):
-                        if _AT[bp][nu] == 0:
-                            continue
-                        term = m[xi * 4 + nu]
-                        if _AT[ap][xi] * _AT[bp][nu] < 0:
-                            term = -term
-                        y = term if y is None else y + term
-
-                yBuf[oSlot, ap * 2 + bp] = y.astype(outDtype).reshape(bi, twp, co)
-
-        for p in range(4):
-            pltpu.make_async_copy(
-                yBuf.at[oSlot, p], outRef.at[n, pl.ds(blk * bi, bi),
-                                             p // 2, :, p % 2, :],
-                osems.at[oSlot, p]).start()
-
-        # drain every in-flight write before the kernel retires
-        @pl.when(oStep == pl.num_programs(0) * nBlocks - 1)
-        def _():
-            for p in range(4):
-                pltpu.make_async_copy(
-                    yBuf.at[oSlot, p], outRef.at[n, pl.ds(blk * bi, bi),
-                                                 p // 2, :, p % 2, :],
-                    osems.at[oSlot, p]).wait()
-
-            @pl.when(oStep >= 1)
-            def _():
-                prev = oStep - 1
-                blkP = jax.lax.rem(prev, nBlocks)
-                nP = prev // nBlocks
-
-                for p in range(4):
-                    pltpu.make_async_copy(
-                        yBuf.at[1 - oSlot, p],
-                        outRef.at[nP, pl.ds(blkP * bi, bi), p // 2, :, p % 2, :],
-                        osems.at[1 - oSlot, p]).wait()
+            outRef[0, 0, ap] = jnp.concatenate(
+                (yPhase(ap, 0), yPhase(ap, 1)), axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("bi", "twp", "cb", "co",
-                                             "nBlocks", "nCc", "interpret"))
-def _winogradHC(xs, u, *, bi, twp, cb, co, nBlocks, nCc, interpret=False):
-    """xs (4, N, rows, C) phase slabs (rows = flattened (i, j) tiles with
-    pitch twp); u (16, C, CO) transformed filter.  Returns the padded
-    output as a (N, nBlocks*bi, 2, twp, 2, CO) phase-interleaved NHWC view
-    (row 2i+ap, col 2j+bp at [n, i, ap, j, bp, :])."""
+@functools.partial(jax.jit, static_argnames=("bi", "twp", "cb", "co", "nBlocks",
+                                             "nCc", "scheme", "interpret"))
+def _winogradHC(xs, u, *, bi, twp, cb, co, nBlocks, nCc, scheme="mcat",
+                interpret=False):
+    """xs (2, N, rows, 2C) row-phase slabs (rows = flattened (i, j) tiles
+    with pitch twp, lanes = bp*C + channel); u (16, C, CO) transformed
+    filter.  Returns (N, nBlocks, 2, MB, 2*CO) in the same slab layout."""
     n = xs.shape[1]
+    c = xs.shape[3] // 2
     mb = bi * twp
 
     return pl.pallas_call(
         functools.partial(
-            _kernel, bi=bi, twp=twp, mb=mb, cb=cb, co=co,
-            nBlocks=nBlocks, nCc=nCc, outDtype=xs.dtype,
+            _kernel, bi=bi, twp=twp, mb=mb, c=c, cb=cb, co=co,
+            nBlocks=nBlocks, nCc=nCc, outDtype=xs.dtype, scheme=scheme,
         ),
         grid=(n, nBlocks, nCc),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),       # phases in HBM, manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),       # slabs in HBM, manual DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),      # filter fully resident:
             # a (16, cb, co) blocked spec would re-DMA 4 MB per cc step
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # strided manual DMA
-        out_shape=jax.ShapeDtypeStruct((n, nBlocks * bi, 2, twp, 2, co), xs.dtype),
+        out_specs=pl.BlockSpec((1, 1, 2, mb, 2 * co),
+                               lambda nI, blkI, ccI: (nI, blkI, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, nBlocks, 2, mb, 2 * co), xs.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, 4, _fetchRows(bi, twp), cb), xs.dtype),
             pltpu.VMEM((16, mb, cb), xs.dtype),
-            pltpu.VMEM((16, mb, co), jnp.float32),
-            pltpu.VMEM((2, 4, bi, twp, co), xs.dtype),
-            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.VMEM((16 if scheme == "mcat" else 4, mb, co), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -247,32 +240,43 @@ def _winogradHC(xs, u, *, bi, twp, cb, co, nBlocks, nCc, interpret=False):
     )(xs, u)
 
 
-def _vmemBytes(bi, twp, c, cb, co, itemsize):
+def _vmemBytes(bi, twp, c, cb, co, itemsize, scheme="mcat"):
     mb = bi * twp
 
     return (2 * 4 * _fetchRows(bi, twp) * cb * itemsize  # phase double buffers
             + 16 * mb * cb * itemsize                    # stage-1 butterflies
-            + 16 * mb * co * 4                           # m blocks, f32
-            + 2 * 4 * mb * co * itemsize                 # double-buffered out
+            + (16 if scheme == "mcat" else 4) * mb * co * 4   # m / y scratch
+            + 2 * 2 * mb * 2 * co * itemsize             # pipelined out block
             + 16 * c * co * itemsize)                    # fully resident filter
 
 
 def _pickBlock(th, twp, c, cb, co, itemsize, vmemBudget=13 * 2 ** 20):
     """Largest tile-row block under the VMEM budget (MB >= ~128 for the MXU,
-    minimal padded-row overhead)."""
-    best, bestBi = None, None
+    minimal padded-row overhead).  Returns (bi, scheme) or None: the 16-block
+    "mcat" inverse is preferred; the 4-accumulator "rmw" inverse is the
+    fallback that lets C = CO = 512 shapes keep the filter resident."""
+    for scheme in ("rmw", "mcat"):
+        best, bestBi = None, None
 
-    for bi in range(min(th, 16), 0, -1):
-        if _vmemBytes(bi, twp, c, cb, co, itemsize) > vmemBudget:
-            continue
+        for bi in range(min(th, 16), 0, -1):
+            # multi-block DMAs start at blk*bi*twp sublanes: Mosaic requires
+            # a provably 8-divisible start (moot with one block per height)
+            if bi < th and (bi * twp) % 8 != 0:
+                continue
 
-        nBlocks = -(-th // bi)
-        cand = (nBlocks * bi / th, -min(bi * twp, 256))
+            if _vmemBytes(bi, twp, c, cb, co, itemsize, scheme) > vmemBudget:
+                continue
 
-        if best is None or cand < best:
-            best, bestBi = cand, bi
+            nBlocks = -(-th // bi)
+            cand = (nBlocks * bi / th, -min(bi * twp, 256))
 
-    return bestBi
+            if best is None or cand < best:
+                best, bestBi = cand, bi
+
+        if bestBi is not None:
+            return bestBi, scheme
+
+    return None
 
 
 def applicable(xshape, wshape, stride, pad, dilation, groups, dtype=jnp.bfloat16):
@@ -298,7 +302,7 @@ def applicable(xshape, wshape, stride, pad, dilation, groups, dtype=jnp.bfloat16
     cb = _chunkC(c)
     itemsize = np.dtype(dtype).itemsize
 
-    return _pickBlock(th, tw + 2, c, cb, co, itemsize) is not None
+    return _pickBlock(th, tw + 1, c, cb, co, itemsize) is not None
 
 
 def _chunkC(c):
@@ -314,54 +318,66 @@ def _filterTransform(w):
     return u.reshape(16, w.shape[1], w.shape[0]).astype(w.dtype)
 
 
-def conv2dNHWC(x, w, pad=(0, 0), bi=None, interpret=False):
+def _rowSlabs(xl, n, hp2, twp, c, rowsNeeded):
+    """(N, 2*hp2, 2*twp, C) padded NHWC -> (2, N, rows, 2C) row-phase slabs:
+    two coarse dim-2 slices (contiguous 2*twp*C-granule runs), then free
+    reshapes folding the column parity into the lanes."""
+    xe = xl.reshape(n, hp2, 2, 2 * twp, c)
+
+    xs = jnp.stack([xe[:, :, ap] for ap in range(2)])
+    xs = xs.reshape(2, n, hp2 * twp, 2 * c)
+
+    if xs.shape[2] < rowsNeeded:
+        xs = jnp.pad(xs, ((0, 0), (0, 0), (0, rowsNeeded - xs.shape[2]), (0, 0)))
+
+    return xs
+
+
+def conv2dNHWC(x, w, pad=(0, 0), bi=None, scheme=None, interpret=False):
     """NHWC 3x3 stride-1 conv through the fused Winograd kernel; w is OIHW."""
     n, h, wd, c = x.shape
     co = w.shape[0]
 
     oh, ow = h + 2 * pad[0] - 2, wd + 2 * pad[1] - 2
     th, tw = -(-oh // 2), -(-ow // 2)
-    twp = tw + 2                      # strided-slice pitch: wp // 2
+    twp = tw + 1                      # tile pitch: the halo column rides along
     cb = _chunkC(c)
 
     if bi is None:
         tuned = _tuned.get((tuple(x.shape), tuple(w.shape), tuple(pad),
                             np.dtype(x.dtype).str))
-        bi = tuned[0] if tuned is not None else None
+        if tuned is not None:
+            bi, scheme = tuned
 
     if bi is None:
-        bi = _pickBlock(th, twp, c, cb, co, x.dtype.itemsize)
-        if bi is None:
+        picked = _pickBlock(th, twp, c, cb, co, x.dtype.itemsize)
+        if picked is None:
             raise ValueError("no VMEM-feasible block for %s conv %s" % (x.shape, w.shape))
+        bi, scheme = picked if scheme is None else (picked[0], scheme)
+    elif scheme is None:
+        scheme = "mcat"
 
     nBlocks = -(-th // bi)
     nCc = c // cb
 
-    # pad so phase slabs cover rows 2i+a for i <= nBlocks*bi + 1 (the +1 is
-    # the 8-element tail the last slab's rounded DMA touches), cols 2j+b for
-    # j < twp; phase (ap, bp) then flattens its full strided-slice rows with
-    # pitch twp at zero cost (cols j >= tw are garbage, cropped on exit)
-    hp = 2 * (nBlocks * bi + 2)
-    wp = 2 * twp
-    xl = jnp.pad(x, ((0, 0), (pad[0], hp - h - pad[0]),
-                     (pad[1], wp - wd - pad[1]), (0, 0)))
-
-    # entry: 4 granule-C strided slices, each an HBM-speed copy
-    xs = jnp.stack([
-        xl[:, ap::2, bp::2, :].reshape(n, (hp // 2) * twp, c)
-        for ap in range(2) for bp in range(2)
-    ])
+    # pad so slabs cover rows 2i+a for i <= nBlocks*bi + 1 (the +1 is the
+    # tail the last rounded DMA touches), cols 2j+b for j < twp
+    hp2 = nBlocks * bi + 2
+    xl = jnp.pad(x, ((0, 0), (pad[0], 2 * hp2 - h - pad[0]),
+                     (pad[1], 2 * twp - wd - pad[1]), (0, 0)))
 
     rowsNeeded = (nBlocks - 1) * bi * twp + _fetchRows(bi, twp)
-    if xs.shape[2] < rowsNeeded:
-        xs = jnp.pad(xs, ((0, 0), (0, 0), (0, rowsNeeded - xs.shape[2]), (0, 0)))
+    xs = _rowSlabs(xl, n, hp2, twp, c, rowsNeeded)
 
     u = _filterTransform(w)
 
-    out = _winogradHC(xs, u, bi=bi, twp=twp, cb=cb, co=co,
-                      nBlocks=nBlocks, nCc=nCc, interpret=interpret)
+    out = _winogradHC(xs, u, bi=bi, twp=twp, cb=cb, co=co, nBlocks=nBlocks,
+                      nCc=nCc, scheme=scheme, interpret=interpret)
 
-    # exit: the kernel already interleaved phases into padded NHWC - crop
+    # exit: (N, nB, 2, bi, twp, 2, CO) -> swap (bi, ap) - a coarse transpose
+    # with contiguous twp*2*CO-granule runs - then crop
+    out = out.reshape(n, nBlocks, 2, bi, twp, 2, co)
+    out = out.transpose(0, 1, 3, 2, 4, 5, 6)
     return out.reshape(n, nBlocks * bi * 2, twp * 2, co)[:, :oh, :ow, :]
 
 
@@ -386,26 +402,34 @@ def autotune(xshape, wshape, pad=(0, 0), dtype=jnp.bfloat16, iters=6, maxCandida
     n, h, wd, c = xshape
     co = wshape[0]
     oh, ow = h + 2 * pad[0] - 2, wd + 2 * pad[1] - 2
-    th, twp = -(-oh // 2), -(-ow // 2) + 2
+    th, twp = -(-oh // 2), -(-ow // 2) + 1
     cb = _chunkC(c)
     itemsize = np.dtype(dtype).itemsize
 
     x = jnp.zeros(xshape, dtype)
     w = jnp.zeros(wshape, dtype)
 
-    feasible = [bi for bi in range(1, min(th, 16) + 1)
-                if _vmemBytes(bi, twp, c, cb, co, itemsize) <= 13 * 2 ** 20]
-    feasible.sort(key=lambda bi: (-(-th // bi) * bi / th, abs(bi * twp - 256)))
+    feasible = [
+        (bi, scheme)
+        for scheme in ("mcat", "rmw")
+        for bi in range(1, min(th, 16) + 1)
+        if (bi >= th or (bi * twp) % 8 == 0)
+        and _vmemBytes(bi, twp, c, cb, co, itemsize, scheme) <= 13 * 2 ** 20
+    ]
+    feasible.sort(key=lambda bs: (bs[1] != "rmw",
+                                  -(-th // bs[0]) * bs[0] / th,
+                                  abs(bs[0] * twp - 256)))
 
     best, bestParams = float("inf"), None
 
-    for bi in feasible[:maxCandidates]:
+    for bi, scheme in feasible[:maxCandidates]:
         try:
             @jax.jit
-            def chained(x, w, bi=bi):
+            def chained(x, w, bi=bi, scheme=scheme):
                 acc = jnp.zeros((8, ), jnp.float32)
                 for i in range(iters):
-                    out = conv2dNHWC(x, w + jnp.asarray(i, dtype), pad, bi=bi)
+                    out = conv2dNHWC(x, w + jnp.asarray(i, dtype), pad,
+                                     bi=bi, scheme=scheme)
                     acc += out.ravel()[:8].astype(jnp.float32)
                 return acc
 
@@ -421,7 +445,7 @@ def autotune(xshape, wshape, pad=(0, 0), dtype=jnp.bfloat16, iters=6, maxCandida
             continue
 
         if secs < best:
-            best, bestParams = secs, (bi, )
+            best, bestParams = secs, (bi, scheme)
 
     _tuned[key] = bestParams
     return bestParams
@@ -452,7 +476,7 @@ _ACOL = tuple(
 
 
 def _fgKernel(xRef, yRef, outRef, xBuf, yBuf, t1, acc, xSems, ySems, *,
-              bi, twp, mb, c, cob, nBlocks, nN):
+              bi, twp, mb, c, co, cob, nBlocks, nN):
     coc, nI, blk = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     step = (coc * nN + nI) * nBlocks + blk
@@ -464,16 +488,17 @@ def _fgKernel(xRef, yRef, outRef, xBuf, yBuf, t1, acc, xSems, ySems, *,
     def fetch(slot, cocI, nII, blkI):
         xs = [
             pltpu.make_async_copy(
-                xRef.at[p, nII, pl.ds(blkI * mb, rowsX), :],
-                xBuf.at[slot, p], xSems.at[slot, p])
-            for p in range(4)
+                xRef.at[pa, nII, pl.ds(blkI * mb, rowsX),
+                        pl.ds(pb * c, c)],
+                xBuf.at[slot, pa * 2 + pb], xSems.at[slot, pa * 2 + pb])
+            for pa in range(2) for pb in range(2)
         ]
         ys = [
             pltpu.make_async_copy(
-                yRef.at[p, nII, pl.ds(blkI * mb, rowsY),
-                        pl.ds(cocI * cob, cob)],
-                yBuf.at[slot, p], ySems.at[slot, p])
-            for p in range(4)
+                yRef.at[pa, nII, pl.ds(blkI * mb, rowsY),
+                        pl.ds(pb * co + cocI * cob, cob)],
+                yBuf.at[slot, pa * 2 + pb], ySems.at[slot, pa * 2 + pb])
+            for pa in range(2) for pb in range(2)
         ]
         return xs + ys
 
@@ -552,15 +577,15 @@ def _fgKernel(xRef, yRef, outRef, xBuf, yBuf, t1, acc, xSems, ySems, *,
 @functools.partial(jax.jit, static_argnames=("bi", "twp", "cob",
                                              "nBlocks", "interpret"))
 def _winogradFG(xs, ys, *, bi, twp, cob, nBlocks, interpret=False):
-    """xs (4, N, rowsX, C) input phase slabs (pitch twp, with halo);
-    ys (4, N, rowsY, CO) gradient phase slabs (same pitch, no halo).
-    Returns dU (16, C, CO) f32."""
-    n, c, co = xs.shape[1], xs.shape[3], ys.shape[3]
+    """xs (2, N, rowsX, 2C) input row-phase slabs (pitch twp, with halo);
+    ys (2, N, rowsY, 2CO) gradient row-phase slabs (same pitch, no halo);
+    both lane-interleave the column parity.  Returns dU (16, C, CO) f32."""
+    n, c, co = xs.shape[1], xs.shape[3] // 2, ys.shape[3] // 2
     mb = bi * twp
 
     return pl.pallas_call(
         functools.partial(
-            _fgKernel, bi=bi, twp=twp, mb=mb, c=c, cob=cob,
+            _fgKernel, bi=bi, twp=twp, mb=mb, c=c, co=co, cob=cob,
             nBlocks=nBlocks, nN=n,
         ),
         grid=(co // cob, n, nBlocks),
@@ -644,7 +669,7 @@ def filterGradApplicable(xshape, dyshape, stride, pad, dilation, groups,
     cob = _chunkC(co)
     itemsize = np.dtype(dtype).itemsize
 
-    return _pickBlockFG(th, tw + 2, c, cob, itemsize) is not None
+    return _pickBlockFG(th, tw + 1, c, cob, itemsize) is not None
 
 
 def filterGradNHWC(x, dy, pad=(0, 0), bi=None, interpret=False):
@@ -654,7 +679,7 @@ def filterGradNHWC(x, dy, pad=(0, 0), bi=None, interpret=False):
     oh, ow, co = dy.shape[1], dy.shape[2], dy.shape[3]
 
     th, tw = -(-oh // 2), -(-ow // 2)
-    twp = tw + 2
+    twp = tw + 1
     cob = _chunkC(co)
     itemsize = np.dtype(x.dtype).itemsize
 
@@ -665,32 +690,21 @@ def filterGradNHWC(x, dy, pad=(0, 0), bi=None, interpret=False):
                              % (x.shape, dy.shape))
 
     nBlocks = -(-th // bi)
-
-    # input phase slabs, exactly as the forward entry
-    hp = 2 * (nBlocks * bi + 2)
-    wp = 2 * twp
-    xl = jnp.pad(x, ((0, 0), (pad[0], hp - h - pad[0]),
-                     (pad[1], wp - wd - pad[1]), (0, 0)))
-    xs = jnp.stack([
-        xl[:, ap::2, bp::2, :].reshape(n, (hp // 2) * twp, c)
-        for ap in range(2) for bp in range(2)
-    ])
-    rowsNeeded = (nBlocks - 1) * bi * twp + _fetchRows(bi, twp)
-    if xs.shape[2] < rowsNeeded:
-        xs = jnp.pad(xs, ((0, 0), (0, 0), (0, rowsNeeded - xs.shape[2]), (0, 0)))
-
-    # gradient phase slabs: same pitch, zero-padded (the zeros null out the
-    # garbage columns of the input slabs in the tile contraction)
     mb = bi * twp
+
+    # input row-phase slabs, exactly as the forward entry
+    hp2 = nBlocks * bi + 2
+    xl = jnp.pad(x, ((0, 0), (pad[0], 2 * hp2 - h - pad[0]),
+                     (pad[1], 2 * twp - wd - pad[1]), (0, 0)))
+    rowsNeeded = (nBlocks - 1) * mb + _fetchRows(bi, twp)
+    xs = _rowSlabs(xl, n, hp2, twp, c, rowsNeeded)
+
+    # gradient row-phase slabs: same pitch, zero-padded (the zeros null out
+    # the garbage columns of the input slabs in the tile contraction)
     dyl = jnp.pad(dy, ((0, 0), (0, 2 * nBlocks * bi - oh),
                        (0, 2 * twp - ow), (0, 0)))
-    ys = jnp.stack([
-        dyl[:, ap::2, bp::2, :].reshape(n, nBlocks * mb, co)
-        for ap in range(2) for bp in range(2)
-    ])
     rowsY = (nBlocks - 1) * mb + -(-mb // 8) * 8
-    if ys.shape[2] < rowsY:
-        ys = jnp.pad(ys, ((0, 0), (0, 0), (0, rowsY - ys.shape[2]), (0, 0)))
+    ys = _rowSlabs(dyl, n, nBlocks * bi, twp, co, rowsY)
 
     du = _winogradFG(xs, ys, bi=bi, twp=twp, cob=cob,
                      nBlocks=nBlocks, interpret=interpret)

@@ -160,6 +160,22 @@ def testWinogradInterpret():
         assert np.abs(np.asarray(out) - ref).max() < 1e-3 * max(1.0, np.abs(ref).max())
 
 
+def testWinogradRmwSchemeInterpret():
+    """The 4-accumulator inverse-transform scheme matches the 16-block one."""
+    from puzzlelib_tpu.ops.pallas import winograd
+
+    np.random.seed(12)
+
+    n, c, h, w, co, p = 1, 128, 10, 8, 128, 1
+    x = jnp.asarray(np.random.randn(n, h, w, c), jnp.float32)
+    wt = jnp.asarray(np.random.randn(co, c, 3, 3) * 0.1, jnp.float32)
+
+    a = winograd.conv2dNHWC(x, wt, (p, p), scheme="mcat", interpret=True)
+    b = winograd.conv2dNHWC(x, wt, (p, p), scheme="rmw", interpret=True)
+
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-5
+
+
 def testWinogradFilterGradInterpret():
     """Transform-domain bwd-filter vs a float64 host oracle."""
     from puzzlelib_tpu.ops.pallas import winograd

@@ -75,7 +75,7 @@ def fence(x):
 
 
 def main():
-    n, h, wd, c = 1, 56, 56, 256
+    n, h, wd, c = 1, 64, 64, 256
     th, tw = h // 2, wd // 2
     rows = 4                      # tile rows per step
 
@@ -88,7 +88,7 @@ def main():
         out = phaseSplit(x6, rows=rows, tw=tw, c=c, nTiles=nTiles)
         out.block_until_ready()
     except Exception as exc:
-        print("FAILED:", str(exc)[:600])
+        print("FAILED:", str(exc)[:8000])
         return
 
     # correctness

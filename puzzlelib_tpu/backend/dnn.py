@@ -153,6 +153,10 @@ def convNdbenchmark(datashape, Wshape, stride, pad, dilation, groups, transpose=
         if _pconv.applicable(datashape, Wshape, stride, pad, dilation, groups):
             _pconv.autotune(datashape, Wshape, pad, dtype=jnp.bfloat16)
 
+        # 3x3 shapes: measure XLA vs the Winograd kernels (fwd + bwd-filter)
+        # and persist the per-shape dispatch choice
+        _conv.measureAlgoChoice(datashape, Wshape, stride, pad, dilation, groups)
+
     x = jax.numpy.zeros(datashape, dtype)
     w = jax.numpy.zeros(Wshape, dtype)
 

@@ -77,13 +77,21 @@ def resetDispatchCaches():
     Blas._pallasGemmBroken = False
 
 
+# measured per-shape algo choices, recorded by Dnn.convNdbenchmark (i.e.
+# Module.optimizeForShape) under the honest equal-harness comparison; keys
+# ("fwd"|"fg", shapes...) -> "xla" | "winograd".  The cuDNN-algo-search
+# ledger of this backend (/root/reference/Cuda/GPUBackend.py:371).
+_algoChoice = {}
+
+
 def _tryWinograd(x, w, stride, pad, dilation, groups):
-    """Fused Winograd F(2x2,3x3) for the 3x3 stride-1 bf16 convs that
-    dominate ResNet/VGG/UNet bodies (2.25x fewer MXU FLOPs than the
-    implicit GEMM; measured 1.4x over XLA's NHWC conv at the ResNet-50
-    body shapes).  The cuDNN algo family's WINOGRAD member
-    (/root/reference/Cuda/Source/Libs/CuDnn.c:1155-1220).
-    Returns None when not applicable."""
+    """Fused Winograd F(2x2,3x3) for 3x3 stride-1 bf16 convs - dispatched
+    only where the measured comparison says it beats XLA's NHWC conv
+    (honest marginals put XLA at 75-94% of the roofline on ResNet/VGG
+    body shapes, so Winograd's 2.25x FLOP cut usually only ties; ties go
+    to XLA).  ``Config.convAlgo = "winograd"`` forces it.  The cuDNN algo
+    family's WINOGRAD member (/root/reference/Cuda/Source/Libs/CuDnn.c:
+    1155-1220).  Returns None when not applicable/not chosen."""
     from puzzlelib_tpu import config as Config
 
     algo = getattr(Config, "convAlgo", "auto")
@@ -92,6 +100,11 @@ def _tryWinograd(x, w, stride, pad, dilation, groups):
 
     if x.dtype != jnp.bfloat16 or w.dtype != jnp.bfloat16:
         return None
+
+    if algo != "winograd":
+        choice = _algoChoice.get(("fwd", x.shape, w.shape, tuple(pad)))
+        if choice != "winograd":
+            return None
 
     from puzzlelib_tpu.ops.pallas import winograd as pwino
 
@@ -181,6 +194,108 @@ def _tryPallas(x, w, stride, pad, dilation, groups):
             "Pallas conv kernel failed at trace time for x%s w%s %s; falling "
             "back to XLA for this shape", x.shape, w.shape, x.dtype)
         return None
+
+
+def measureAlgoChoice(datashape, Wshape, stride, pad, dilation, groups,
+                      dtype=jnp.bfloat16, reps=10, k=3):
+    """Time XLA vs the Winograd kernels for this 3x3 signature (fwd and
+    bwd-filter) with equal-harness chains (array-delta perturbations, min
+    of ``k`` fenced calls) and record the winners in ``_algoChoice``.
+
+    Called from ``Dnn.convNdbenchmark`` so ``Module.optimizeForShape``
+    persists measured dispatch, the cuDNN-algo-search equivalent
+    (/root/reference/Cuda/GPUBackend.py:371)."""
+    import time
+    from puzzlelib_tpu.ops.pallas import winograd as pwino
+
+    if jax.default_backend() == "cpu":
+        return None
+
+    stride, pad, dilation = tuple(stride), tuple(pad), tuple(dilation)
+
+    if not pwino.applicable(datashape, Wshape, stride, pad, dilation, groups,
+                            dtype):
+        return None
+
+    n, c, h, wd = datashape
+    co = Wshape[0]
+    oh, ow = h + 2 * pad[0] - 2, wd + 2 * pad[1] - 2
+
+    key = jax.random.key(0)
+    x = (jax.random.normal(key, (n, h, wd, c), jnp.float32) * 0.3).astype(dtype)
+    w = jnp.zeros(Wshape, dtype)
+    dy = (jax.random.normal(key, (n, oh, ow, co), jnp.float32) * 0.1).astype(dtype)
+    deltas = (jax.random.normal(key, (reps, ) + tuple(Wshape), jnp.float32)
+              * 0.01).astype(dtype)
+    dyDeltas = (jax.random.normal(key, (reps, n, 8, ow, co), jnp.float32)
+                * 0.01).astype(dtype)
+
+    def minTime(f, args):
+        jax.block_until_ready(f(*args))
+        np.asarray(f(*args).ravel()[:1])
+        best = float("inf")
+        for _ in range(k):
+            t = time.perf_counter()
+            np.asarray(f(*args).ravel()[:1])
+            best = min(best, time.perf_counter() - t)
+        return best
+
+    def chain(fn):
+        # lax.scan keeps the program O(1)-sized (the remote compiler rejects
+        # long unrolled chains) and cross-rep CSE impossible
+        @jax.jit
+        def chained(*args):
+            def body(acc, i):
+                return acc + jnp.max(fn(i, *args).astype(jnp.float32)), None
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                  jnp.arange(reps))
+            return acc
+        return chained
+
+    def xlaFwd(i, x, w, deltas):
+        out = lax.conv_general_dilated(
+            x, (w + deltas[i]).transpose(2, 3, 1, 0), stride,
+            [(p, p) for p in pad], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return out.astype(x.dtype)
+
+    def winoFwd(i, x, w, deltas):
+        return pwino.conv2dNHWC(x, w + deltas[i], pad)
+
+    def xlaFG(i, x, dy, dyDeltas):
+        dyp = dy.at[:, :8].add(dyDeltas[i])
+        xb = jnp.transpose(x, (0, 3, 1, 2))
+        dyb = jnp.transpose(dyp, (0, 3, 1, 2))
+        return _filterGradDenseNhwc(xb, dyb, (3, 3), stride, pad, dilation)
+
+    def winoFG(i, x, dy, dyDeltas):
+        return pwino.filterGradNHWC(x, dy.at[:, :8].add(dyDeltas[i]), pad)
+
+    results = {}
+
+    try:
+        tx = minTime(chain(xlaFwd), (x, w, deltas))
+        tw = minTime(chain(winoFwd), (x, w, deltas))
+        choice = "winograd" if tw < tx * 0.97 else "xla"   # ties go to XLA
+        _algoChoice[("fwd", tuple(datashape), tuple(Wshape), pad)] = choice
+        results["fwd"] = (choice, tx / reps, tw / reps)
+    except Exception:
+        logger.warning("winograd fwd comparison failed for %s; keeping XLA",
+                       (datashape, Wshape))
+
+    if pwino.filterGradApplicable(datashape, (n, co, oh, ow), stride, pad,
+                                  dilation, groups, dtype):
+        try:
+            tx = minTime(chain(xlaFG), (x, dy, dyDeltas))
+            tw = minTime(chain(winoFG), (x, dy, dyDeltas))
+            choice = "winograd" if tw < tx * 0.97 else "xla"
+            _algoChoice[("fg", tuple(datashape), (n, co, oh, ow), pad)] = choice
+            results["fg"] = (choice, tx / reps, tw / reps)
+        except Exception:
+            logger.warning("winograd bwd-filter comparison failed for %s; "
+                           "keeping XLA", (datashape, Wshape))
+
+    return results
 
 
 def _toNhwc(x):
@@ -320,6 +435,11 @@ def _tryWinogradFG(x, grad, size, stride, pad, dilation, groups):
 
     if x.dtype != jnp.bfloat16 or grad.dtype != jnp.bfloat16:
         return None
+
+    if algo != "winograd":
+        choice = _algoChoice.get(("fg", x.shape, grad.shape, tuple(pad)))
+        if choice != "winograd":
+            return None
 
     from puzzlelib_tpu.ops.pallas import winograd as pwino
 

@@ -7,16 +7,17 @@ Prints per-direction timings and effective TFLOP/s on the current device.
 import numpy as np
 
 
-def chainRate(datashape=(128, 32, 64, 64), Wshape=(64, 32, 11, 11), pad=0, reps=48, iters=3):
-    """Kernel-rate mode: `reps` convs chained inside ONE jitted program with a
-    readback fence, so per-dispatch relay latency amortises away (the same
-    methodology as gemmspeed --kernel-rate).  bf16, fwd + bwd-data."""
-    import time
-
+def chainRate(datashape=(128, 32, 64, 64), Wshape=(64, 32, 11, 11), pad=0,
+              reps=(8, 40)):
+    """Kernel-rate mode: honest per-op marginals (scan chains, min-of-k
+    fenced calls, rep differencing, ARRAY filter deltas - see
+    benchmarks.timing for why anything less reads relay overhead or XLA's
+    algebraic hoisting instead of the kernel).  bf16, fwd/bwd-data/bwd-filter."""
     import jax
     import jax.numpy as jnp
 
     from puzzlelib_tpu.ops import conv as opsconv
+    from puzzlelib_tpu.benchmarks.timing import deltaBank, marginalTime, fence
 
     n, cin, h, w = datashape
     cout, _, kh, kw = Wshape
@@ -26,30 +27,17 @@ def chainRate(datashape=(128, 32, 64, 64), Wshape=(64, 32, 11, 11), pad=0, reps=
     kx, kw_ = jax.random.split(jax.random.key(0))
     x = (jax.random.normal(kx, datashape, jnp.float32) * 0.1).astype(jnp.bfloat16)
     wgt = (jax.random.normal(kw_, Wshape, jnp.float32) * 0.1).astype(jnp.bfloat16)
-    np.asarray(x.ravel()[:1])
-
-    def bench(convfn):
-        @jax.jit
-        def f(x, wgt):
-            acc = jnp.zeros((8, ), jnp.float32)
-            for i in range(reps):
-                out = convfn(x, wgt + jnp.bfloat16(i))
-                acc += out.ravel()[:8].astype(jnp.float32)
-            return acc
-
-        out = f(x, wgt)
-        np.asarray(out.ravel()[:1])
-
-        start = time.perf_counter()
-        for _ in range(iters):
-            out = f(x, wgt)
-        np.asarray(out.ravel()[:1])
-
-        return (time.perf_counter() - start) / iters / reps
+    deltas = deltaBank(Wshape, jnp.bfloat16, max(reps))
+    fence(x); fence(deltas)
 
     nd = 2
     before = dict(opsconv.dispatchStats)
-    sec = bench(lambda a, b: opsconv._convCore(a, b, (1, ) * nd, (pad, ) * nd, (1, ) * nd, 1))
+
+    sec = marginalTime(
+        lambda i, a, b, d: opsconv._convCore(
+            a, b + d[i], (1, ) * nd, (pad, ) * nd, (1, ) * nd, 1),
+        (x, wgt, deltas), reps1=reps[0], reps2=reps[1])
+
     pallasRan = opsconv.dispatchStats["pallas"] > before["pallas"]
     print("fwd chain      %.6f secs  %8.2f TFLOP/s (%4.1f%% of bf16 peak)  [%s]"
           % (sec, flops / sec / 1e12, flops / sec / 197e12 * 100,
@@ -68,19 +56,23 @@ def chainRate(datashape=(128, 32, 64, 64), Wshape=(64, 32, 11, 11), pad=0, reps=
             "Pallas-eligible ConvSpeed shape fell back to XLA - probe-compile "
             "failure or dispatch regression (see logged warning)")
 
-    # a real random gradient: a broadcast-scalar operand would let XLA legally
-    # simplify the conv and inflate the quoted rate
     gradData = (jax.random.normal(kx, (n, cout, outh, outw), jnp.float32) * 0.1).astype(jnp.bfloat16)
-    sec = bench(lambda a, b: opsconv.convNdBackwardData(
-        gradData + a.ravel()[0], b,
-        datashape, (1, ) * nd, (pad, ) * nd, (1, ) * nd, 1))
+    sec = marginalTime(
+        lambda i, g, b, d: opsconv.convNdBackwardData(
+            g, b + d[i], datashape, (1, ) * nd, (pad, ) * nd, (1, ) * nd, 1),
+        (gradData, wgt, deltas), reps1=reps[0], reps2=reps[1])
     bwdFlops = 2.0 * n * cin * h * w * cout * kh * kw   # dgrad covers the full input
     print("bwdData chain  %.6f secs  %8.2f TFLOP/s (%4.1f%% of bf16 peak)"
           % (sec, bwdFlops / sec / 1e12, bwdFlops / sec / 197e12 * 100))
 
-    grad0 = (jax.random.normal(kx, (n, cout, outh, outw), jnp.float32) * 0.1).astype(jnp.bfloat16)
-    sec = bench(lambda a, b: opsconv.convNdBackwardParams(
-        a, grad0 + b.ravel()[0], b, (1, ) * nd, (pad, ) * nd, (1, ) * nd, 1)[0])
+    gradDeltas = deltaBank((n, 8, outw, cout), jnp.bfloat16, max(reps))
+    gradN = gradData.transpose(0, 2, 3, 1)
+
+    sec = marginalTime(
+        lambda i, a, g, d: opsconv.convNdBackwardParams(
+            a, g.at[:, :8].add(d[i]).transpose(0, 3, 1, 2), wgt,
+            (1, ) * nd, (pad, ) * nd, (1, ) * nd, 1)[0],
+        (x, gradN, gradDeltas), reps1=reps[0], reps2=reps[1])
     print("bwdFilter chain %.6f secs %8.2f TFLOP/s (%4.1f%% of bf16 peak)"
           % (sec, flops / sec / 1e12, flops / sec / 197e12 * 100))
 

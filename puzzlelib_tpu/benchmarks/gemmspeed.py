@@ -49,28 +49,41 @@ def kernelRate(iters=4):
     b = (jax.random.normal(kB, (k, n), jnp.float32) * 0.02).astype(jnp.bfloat16)
     np.asarray(a.ravel()[:1])
 
+    from puzzlelib_tpu.benchmarks.timing import deltaBank, marginalTime
+
     flops = 2.0 * m * n * k
     peak = PEAKS["bfloat16"]
 
+    deltas = deltaBank((8, n), jnp.bfloat16, 8, seed=3)
+
     # DEFAULT precision is exact for bf16 operands (one MXU pass, f32
-    # accumulate); the framework-wide "highest" would force multi-pass
-    xla = jax.jit(lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32,
-                                       precision=jax.lax.Precision.DEFAULT).astype(x.dtype))
-    sec = timeFn(lambda: xla(a, b), iters)
+    # accumulate); the framework-wide "highest" would force multi-pass.
+    # Array deltas + marginal timing: see benchmarks.timing.
+    sec = marginalTime(
+        lambda i, x, y, d: jnp.dot(
+            x, y.at[:8].add(d[i]), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT).astype(x.dtype),
+        (a, b, deltas), reps1=2, reps2=6, k=3)
     print("kernel-rate 8192x65536x8192 bf16 | xla    %7.2f TF/s (%4.1f%% peak)" % (
         flops / sec / 1e12, 100 * flops / sec / peak))
 
-    sec = timeFn(lambda: pm.matmul(a, b, bm=1024, bn=1024, bk=512), iters)
+    sec = marginalTime(
+        lambda i, x, y, d: pm.matmul(x, y.at[:8].add(d[i]),
+                                     bm=1024, bn=1024, bk=512),
+        (a, b, deltas), reps1=2, reps2=6, k=3)
     print("kernel-rate 8192x65536x8192 bf16 | pallas %7.2f TF/s (%4.1f%% peak)" % (
         flops / sec / 1e12, 100 * flops / sec / peak))
 
     ai = jax.random.randint(kA, (m, k), -127, 127, jnp.int8)
     bi = jax.random.randint(kB, (k, n), -127, 127, jnp.int8)
+    di = jax.random.randint(kA, (8, 8, n), -127, 127, jnp.int8)
     np.asarray(ai.ravel()[:1])
 
-    i8 = jax.jit(lambda x, y: jax.lax.dot_general(
-        x, y, (((1, ), (0, )), ((), ())), preferred_element_type=jnp.int32))
-    sec = timeFn(lambda: i8(ai, bi), iters)
+    sec = marginalTime(
+        lambda i, x, y, d: jax.lax.dot_general(
+            x, y.at[:8].add(d[i]), (((1, ), (0, )), ((), ())),
+            preferred_element_type=jnp.int32),
+        (ai, bi, di), reps1=2, reps2=6, k=3)
     print("kernel-rate 8192x65536x8192 int8 | xla    %7.2f TOP/s (%4.1f%% peak)" % (
         flops / sec / 1e12, 100 * flops / sec / PEAKS["int8"]))
 

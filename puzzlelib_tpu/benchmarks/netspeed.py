@@ -41,6 +41,10 @@ def main():
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--dtype", default="float32", choices=["float32", "float16", "bfloat16"])
     parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--many", type=int, default=0, metavar="K",
+                        help="honest per-step time via FusedStep.many: run K and "
+                             "2K steps in single dispatches and difference them "
+                             "(cancels the relay's 10-19 ms per-dispatch cost)")
     parser.add_argument("--infer", action="store_true", help="time inference instead of training")
     parser.add_argument("--profile", action="store_true",
                         help="per-layer fwd/bwd time+roofline table (ConvPerf/OptimizeNet analogue)")
@@ -91,16 +95,49 @@ def main():
 
         syncBuf = min(step.buffers, key=lambda b: b.nbytes)
 
-        step(devData, devLabels)                             # compile
-        np.asarray(syncBuf.jax)
+        if args.many:
+            # marginal per-step time: K and 2K steps in single dispatches,
+            # differenced (the relay charges 10-19 ms per dispatch; a naive
+            # eager loop reads that instead of the step)
+            import jax.numpy as jnp
 
-        start = time.perf_counter()
-        for _ in range(args.iters):
-            step(devData, devLabels)
-        # tiny device->host read: the only honest fence on relayed PJRT backends
-        np.asarray(syncBuf.jax)
-        secs = (time.perf_counter() - start) / args.iters
-        mode = "train"
+            k = args.many
+            # stack minibatches on device (a ~600 MB host upload through the
+            # relay would take minutes)
+            dev2 = jnp.tile(devData.jax[None], (2 * k, ) + (1, ) * data.ndim)
+            devL2 = jnp.tile(devLabels.jax[None], (2 * k, 1))
+
+            def run(steps):
+                step.many(dev2[:steps], devL2[:steps], steps)
+                np.asarray(syncBuf.jax)
+
+            run(k)                                           # compile
+            run(2 * k)
+
+            def minTime(steps, tries=3):
+                best = float("inf")
+                for _ in range(tries):
+                    t = time.perf_counter()
+                    run(steps)
+                    best = min(best, time.perf_counter() - t)
+                return best
+
+            t1 = minTime(k)
+            t2 = minTime(2 * k)
+            secs = (t2 - t1) / k
+            mode = "train(many-marginal)"
+
+        else:
+            step(devData, devLabels)                         # compile
+            np.asarray(syncBuf.jax)
+
+            start = time.perf_counter()
+            for _ in range(args.iters):
+                step(devData, devLabels)
+            # tiny device->host read: the only honest fence on relayed PJRT
+            np.asarray(syncBuf.jax)
+            secs = (time.perf_counter() - start) / args.iters
+            mode = "train"
 
     print("%s %s %s batch %d: %.2f ms/step, %.1f images/sec" %
           (args.net, mode, args.dtype, args.batch, secs * 1e3, args.batch / secs))

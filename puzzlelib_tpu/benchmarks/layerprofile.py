@@ -66,65 +66,78 @@ def _flopsOf(mod, inshape, outshape):
     return None
 
 
-def _timeChain(fn, operands, reps, iters):
-    """Time fn chained `reps` times inside one jitted program."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def chained(*ops):
-        acc = jnp.zeros((8, ), jnp.float32)
-        out = None
-        for i in range(reps):
-            out = fn(i, *ops)
-            acc = acc + out.ravel()[:8].astype(jnp.float32)
-        return acc
-
-    np.asarray(chained(*operands).ravel()[:1])           # compile + warm
-
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = chained(*operands)
-    np.asarray(out.ravel()[:1])
-
-    return (time.perf_counter() - start) / iters / reps
-
-
 def _profileLeaf(mod, inArr, gradArr, reps, iters):
-    """(fwd, fwd+bwdData, fwd+bwdData+bwdParams) chained seconds."""
+    """(fwd, fwd+bwdData, fwd+bwdData+bwdParams) honest marginal seconds.
+
+    Array-delta perturbation on an input slice (scalar perturbations let XLA
+    hoist linear ops out of the chain) + rep-differenced min-of-k timing
+    (see benchmarks.timing)."""
     import jax.numpy as jnp
     from puzzlelib_tpu.tensor import GPUArray
+    from puzzlelib_tpu.benchmarks.timing import deltaBank, marginalTime
 
-    eps = jnp.asarray(1e-3, inArr.dtype)
     hasParams = len(mod.vars) > 0
 
-    def fwd(i, x, g):
-        out = mod(GPUArray(x + eps * i))
+    reps2 = max(reps * 3, reps + 8)
+    rows = min(8, inArr.shape[1]) if inArr.ndim > 1 else min(8, inArr.shape[0])
+    deltas = deltaBank((rows, ) + inArr.shape[2:] if inArr.ndim > 1 else (rows, ),
+                       inArr.dtype, reps2)
+
+    def perturb(x, i):
+        if x.ndim > 1:
+            return x.at[:, :rows].add(deltas[i])
+        return x.at[:rows].add(deltas[i])
+
+    def fwd(i, x, g, d):
+        out = mod(GPUArray(perturb(x, i)))
         mod.reset()
         return out.jax
 
-    def fwdBwd(i, x, g):
-        mod(GPUArray(x + eps * i))
+    def fwdBwd(i, x, g, d):
+        mod(GPUArray(perturb(x, i)))
         mod.updateGrad(GPUArray(g))
         grad = mod.grad
         mod.reset()
         return grad.jax
 
-    def fwdBwdParams(i, x, g):
-        mod(GPUArray(x + eps * i))
+    def fwdBwdParams(i, x, g, d):
+        mod(GPUArray(perturb(x, i)))
         gw = GPUArray(g)
         mod.updateGrad(gw)
         mod.accGradParams(gw)
         grad = mod.grad
+
+        # fold every param grad into the consumed scalar: a result-unused
+        # accGradParams is dead code XLA silently deletes, and the bwdP
+        # column would time nothing
+        s = jnp.max(grad.jax.astype(jnp.float32))
+        for var in mod.vars.values():
+            if var.grad is not None:
+                s = s + jnp.max(var.grad.jax.astype(jnp.float32))
+
         mod.reset()
-        return grad.jax
+        return s
 
-    ops = (inArr, gradArr)
-    tF = _timeChain(fwd, ops, reps, iters)
-    tFB = _timeChain(fwdBwd, ops, reps, iters)
-    tFBP = _timeChain(fwdBwdParams, ops, reps, iters) if hasParams else tFB
+    # the chains write tracers through module/grad buffers at trace time;
+    # restore the concrete roots after every trace or the next trace reads
+    # a leaked tracer (accGradParams ACCUMULATES into var.grad)
+    from puzzlelib_tpu.fused import collectStateBuffers
+    roots = collectStateBuffers(mod)
+    snapshot = [r.jax for r in roots]
 
-    return tF, tFB, tFBP
+    def restore():
+        for root, saved in zip(roots, snapshot):
+            root._write(saved)
+        mod.reset()
+
+    ops = (inArr, gradArr, deltas)
+    k = max(2, iters + 1)
+    tF = marginalTime(fwd, ops, reps1=reps, reps2=reps2, k=k, restore=restore)
+    tFB = marginalTime(fwdBwd, ops, reps1=reps, reps2=reps2, k=k, restore=restore)
+    tFBP = marginalTime(fwdBwdParams, ops, reps1=reps, reps2=reps2, k=k,
+                        restore=restore) if hasParams else tFB
+
+    return max(tF, 0.0), max(tFB, tF), max(tFBP, tFB)
 
 
 def profileNet(net, data, stepSecs=None, reps=8, iters=2, out=print):

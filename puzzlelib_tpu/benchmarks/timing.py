@@ -71,15 +71,24 @@ def minTime(f, args, k=5):
     return best
 
 
-def marginalTime(fn, args, reps1=8, reps2=40, k=5):
+def marginalTime(fn, args, reps1=8, reps2=40, k=5, restore=None):
     """Honest per-op seconds for ``fn(i, *args) -> array``.
 
     The caller must make ``fn`` non-CSEable across ``i`` (index an array
     delta bank with ``i``; scalar perturbations of linear ops don't count).
+    ``restore`` (optional) is called after each chain's trace/compile -
+    for fns with stateful side effects (module buffers) that would leak
+    tracers into the next trace.
     """
     f1, f2 = scanChain(fn, reps1), scanChain(fn, reps2)
+
     fence(f1(*args))
+    if restore is not None:
+        restore()
+
     fence(f2(*args))
+    if restore is not None:
+        restore()
 
     t1, t2 = minTime(f1, args, k), minTime(f2, args, k)
     return (t2 - t1) / (reps2 - reps1)

@@ -14,18 +14,23 @@ import time
 import numpy as np
 
 
-def timeFn(fn, iters=10):
+def timeGrad(gradFn, q, k, v, causal, reps=(4, 12)):
+    """Honest marginal seconds per training step (see benchmarks.timing):
+    delta-perturbed q defeats loop-invariant hoisting inside the scan."""
     import jax
+    import jax.numpy as jnp
 
-    out = fn()
-    np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
+    from puzzlelib_tpu.benchmarks.timing import deltaBank, marginalTime
 
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
+    deltas = deltaBank((8, ) + q.shape[2:], q.dtype, max(reps), seed=5)
 
-    return (time.perf_counter() - start) / iters
+    def step(i, q, k, v, d):
+        dq, dk, dv = gradFn(q.at[:, :8].add(d[i]), k, v, causal)
+        return (jnp.max(dq.astype(jnp.float32))
+                + jnp.max(dk.astype(jnp.float32))
+                + jnp.max(dv.astype(jnp.float32))).reshape(1)
+
+    return marginalTime(step, (q, k, v, deltas), reps1=reps[0], reps2=reps[1])
 
 
 def main():
@@ -58,8 +63,8 @@ def main():
     def lossX(q, k, v, causal):
         return jnp.sum(attention(q, k, v, causal=causal).astype(jnp.float32) ** 2)
 
-    gradF = jax.jit(jax.grad(lossF, argnums=(0, 1, 2)), static_argnums=3)
-    gradX = jax.jit(jax.grad(lossX, argnums=(0, 1, 2)), static_argnums=3)
+    gradF = jax.grad(lossF, argnums=(0, 1, 2))
+    gradX = jax.grad(lossX, argnums=(0, 1, 2))
 
     for s in [int(x) for x in args.seqs.split(",")]:
         keys = jax.random.split(jax.random.key(1), 3)
@@ -69,8 +74,8 @@ def main():
         flops = 4 * b * h * s * s * d * 3.5          # fwd + ~2.5x bwd
 
         for causal in (False, True):
-            tF = timeFn(lambda: gradF(q, k, v, causal), args.iters)
-            tX = timeFn(lambda: gradX(q, k, v, causal), args.iters)
+            tF = timeGrad(gradF, q, k, v, causal)
+            tX = timeGrad(gradX, q, k, v, causal)
 
             print("seq %5d causal=%d | flash %7.2f ms (%5.1f TF/s) | xla %7.2f ms (%5.1f TF/s) | %.2fx"
                   % (s, causal, tF * 1e3, flops / tF / 1e12, tX * 1e3, flops / tX / 1e12, tX / tF))

@@ -33,17 +33,26 @@ inflation never touches HBM:
   the f32 variant and costs ~half a mantissa bit on top of Winograd's own
   bit); each of the 16 (xi, nu) products is one MXU dot against the
   resident transformed filter U[xi nu] (C, CO).
-- The inverse transform A^T m A materialises the 16 m blocks once and
-  computes each output phase as a single fused 9-term VPU combine (not 37
-  f32 read-modify-writes of the accumulator variant); the two column
-  phases of a row slab concatenate on lanes (CO-aligned, free) and the
-  output leaves in the same lane-interleaved slab layout - the exit is a
-  coarse row-granule transpose + crop, again HBM speed.
+- The inverse transform A^T m A runs in one of two schemes: "rmw" (default,
+  measured faster and 6 MB leaner - the four output phases accumulate in
+  f32 scratch as each dot retires) or "mcat" (the 16 m blocks materialise
+  once and each phase is a fused 9-term combine); the two column phases of
+  a row slab concatenate on lanes (CO-aligned, free) and the output leaves
+  in the same lane-interleaved slab layout - the exit is a coarse
+  row-granule transpose + crop, again HBM speed.
 
 bf16 only (the MXU path); f32 is compiled for exactness tests.  Winograd
 costs ~1 extra mantissa bit vs the direct conv (measured ~6e-3 max rel err
 on randn vs the f32 oracle, direct bf16 ~3e-3).  3x3, stride 1, dilation 1,
 groups 1.
+
+Honest-marginal status (see docs/kernels.md): the fused kernel reaches
+84/77/55 % of peak in direct-FLOP terms at the ResNet-50 56/28 and VGG-112
+body shapes - but XLA's NHWC conv measures 85/94/75 % there, so the forward
+only ties its best case and dispatch is decided per shape by measurement
+(ops.conv.measureAlgoChoice).  The transform-domain bwd-filter is the pass
+with a structural edge (the direct formulation's GEMM geometry is
+CO x C*9-output-bound).
 """
 
 import functools

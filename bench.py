@@ -62,8 +62,36 @@ def enableCompileCache():
     _enable()
 
 
+def probeRelay(timeout=900):
+    """Bounded aliveness probe in a subprocess: the axon relay wedges for
+    hours at a time, and a wedged relay hangs even backend init - better to
+    report a structured failure than to hang the driver."""
+    import subprocess
+
+    code = ("import jax.numpy as jnp, numpy as np;"
+            "a = jnp.ones((256, 256), jnp.bfloat16);"
+            "np.asarray((a @ a).ravel()[:1]); print('OK')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout,
+                           capture_output=True, text=True)
+        return "OK" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").split(",")[0] != "cpu" \
+            and not probeRelay():
+        print(json.dumps({
+            "metric": "lenet_train_images_per_sec",
+            "value": 0.0,
+            "unit": "images/sec",
+            "vs_baseline": 0.0,
+            "error": "TPU relay unreachable (probe timed out); no measurement",
+        }))
+        return
 
     enableCompileCache()
 

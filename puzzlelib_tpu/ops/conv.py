@@ -206,7 +206,10 @@ def measureAlgoChoice(datashape, Wshape, stride, pad, dilation, groups,
     persists measured dispatch, the cuDNN-algo-search equivalent
     (/root/reference/Cuda/GPUBackend.py:371)."""
     import time
+    from puzzlelib_tpu.backend.device import ensureInit
     from puzzlelib_tpu.ops.pallas import winograd as pwino
+
+    ensureInit()     # resolve the platform override before touching backends
 
     if jax.default_backend() == "cpu":
         return None
@@ -293,6 +296,39 @@ def measureAlgoChoice(datashape, Wshape, stride, pad, dilation, groups,
             results["fg"] = (choice, tx / reps, tw / reps)
         except Exception:
             logger.warning("winograd bwd-filter comparison failed for %s; "
+                           "keeping XLA", (datashape, Wshape))
+
+    # bwd-data reaches _convCore as a rotated-filter conv with its OWN fwd
+    # signature (dY ⊛ W^T_rot at pad 2-p) - measure and record that key too
+    bwdShape = (n, co, oh, ow)
+    bwdW = (c, co, 3, 3)
+    bwdPad = (2 - pad[0], 2 - pad[1])
+
+    if min(bwdPad) >= 0 and pwino.applicable(bwdShape, bwdW, stride, bwdPad,
+                                             dilation, groups, dtype):
+        wDeltasT = (jax.random.normal(key, (reps, ) + bwdW, jnp.float32)
+                    * 0.01).astype(dtype)
+        wT = jnp.zeros(bwdW, dtype)
+
+        def xlaBwd(i, dy, wT, wDeltasT):
+            out = lax.conv_general_dilated(
+                dy, (wT + wDeltasT[i]).transpose(2, 3, 1, 0), stride,
+                [(p, p) for p in bwdPad],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+            return out.astype(dy.dtype)
+
+        def winoBwd(i, dy, wT, wDeltasT):
+            return pwino.conv2dNHWC(dy, wT + wDeltasT[i], bwdPad)
+
+        try:
+            tx = minTime(chain(xlaBwd), (dy, wT, wDeltasT))
+            tw = minTime(chain(winoBwd), (dy, wT, wDeltasT))
+            choice = "winograd" if tw < tx * 0.97 else "xla"
+            _algoChoice[("fwd", bwdShape, bwdW, bwdPad)] = choice
+            results["bwdData"] = (choice, tx / reps, tw / reps)
+        except Exception:
+            logger.warning("winograd bwd-data comparison failed for %s; "
                            "keeping XLA", (datashape, Wshape))
 
     return results

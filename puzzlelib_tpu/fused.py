@@ -291,6 +291,20 @@ class FusedStep:
         self._seed = int(np.random.randint(1 << 31))
         self._calls = 0
 
+    def _invoke(self, fn, *args):
+        # mesh steps trace with Pallas dispatch disabled: the GSPMD
+        # partitioner cannot shard an opaque pallas_call and would replicate
+        # its operands across the mesh (tracing happens inside the first
+        # call, so the gate wraps every invocation - cached executions are
+        # unaffected)
+        if self.mesh is not None:
+            from puzzlelib_tpu.ops.conv import disablePallas
+
+            with disablePallas():
+                return fn(*args)
+
+        return fn(*args)
+
     def _hyper(self):
         hyper = {}
         for name in self.optimizer.attrs:
@@ -390,7 +404,8 @@ class FusedStep:
 
         fn = self._jittedManyRagged if self._dpSize > 1 and data.shape[1] % self._dpSize \
             else self._jittedMany
-        out = fn(state, self._hyper(), jnp.asarray(t0, jnp.float32), key, data, target)
+        out = self._invoke(fn, state, self._hyper(), jnp.asarray(t0, jnp.float32),
+                           key, data, target)
 
         for buf, arr in zip(self.buffers, out):
             buf._write(arr)
@@ -417,7 +432,8 @@ class FusedStep:
 
         fn = self._jittedRagged if self._dpSize > 1 and data.shape[0] % self._dpSize \
             else self._jitted
-        out = fn(state, hyper, jnp.asarray(self.optimizer.t, jnp.float32), key, data, target)
+        out = self._invoke(fn, state, hyper, jnp.asarray(self.optimizer.t, jnp.float32),
+                           key, data, target)
 
         for buf, arr in zip(self.buffers, out):
             buf._write(arr)

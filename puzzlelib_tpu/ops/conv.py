@@ -83,6 +83,22 @@ def resetDispatchCaches():
 # ledger of this backend (/root/reference/Cuda/GPUBackend.py:371).
 _algoChoice = {}
 
+_pallasDisabled = 0
+
+
+class disablePallas:
+    """Context: force the XLA paths while tracing.  Used by the GSPMD mesh
+    train step - the SPMD partitioner cannot shard an opaque ``pallas_call``
+    and would replicate its operands across the mesh instead."""
+
+    def __enter__(self):
+        global _pallasDisabled
+        _pallasDisabled += 1
+
+    def __exit__(self, *exc):
+        global _pallasDisabled
+        _pallasDisabled -= 1
+
 
 def _tryWinograd(x, w, stride, pad, dilation, groups):
     """Fused Winograd F(2x2,3x3) for 3x3 stride-1 bf16 convs - dispatched
@@ -95,7 +111,7 @@ def _tryWinograd(x, w, stride, pad, dilation, groups):
     from puzzlelib_tpu import config as Config
 
     algo = getattr(Config, "convAlgo", "auto")
-    if algo == "xla" or jax.default_backend() == "cpu":
+    if algo == "xla" or _pallasDisabled or jax.default_backend() == "cpu":
         return None
 
     if x.dtype != jnp.bfloat16 or w.dtype != jnp.bfloat16:
@@ -149,7 +165,7 @@ def _tryPallas(x, w, stride, pad, dilation, groups):
     from puzzlelib_tpu import config as Config
 
     algo = getattr(Config, "convAlgo", "auto")
-    if algo == "xla" or jax.default_backend() == "cpu":
+    if algo == "xla" or _pallasDisabled or jax.default_backend() == "cpu":
         return None
 
     if x.dtype != jnp.bfloat16 or w.dtype != jnp.bfloat16:
@@ -463,7 +479,7 @@ def _tryWinogradFG(x, grad, size, stride, pad, dilation, groups):
     from puzzlelib_tpu import config as Config
 
     algo = getattr(Config, "convAlgo", "auto")
-    if algo == "xla" or jax.default_backend() == "cpu":
+    if algo == "xla" or _pallasDisabled or jax.default_backend() == "cpu":
         return None
 
     if x.ndim != 4 or tuple(size) != (3, 3):

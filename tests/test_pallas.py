@@ -235,6 +235,37 @@ def testWinogradDataGradInterpret():
     assert np.abs(np.asarray(dx) - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
 
 
+def testWinogradUnderShardMap():
+    """The fused kernel composes with batch-sharded SPMD execution."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    from puzzlelib_tpu.ops.pallas import winograd
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        return
+
+    mesh = Mesh(np.array(devs[:4]), ("dp", ))
+
+    np.random.seed(11)
+    x = jnp.asarray(np.random.randn(4, 8, 8, 128), jnp.float32)
+    w = jnp.asarray(np.random.randn(128, 128, 3, 3) * 0.1, jnp.float32)
+
+    def conv(xs, ws):
+        return winograd.conv2dNHWC(xs, ws, (1, 1), interpret=True)
+
+    # check_vma=False: pallas_call outputs don't carry varying-mesh-axis
+    # metadata (this is also how the parallel layer wraps pallas kernels)
+    sharded = shard_map(conv, mesh=mesh, in_specs=(P("dp"), P()),
+                        out_specs=P("dp"), check_vma=False)
+
+    got = sharded(x, w)
+    want = conv(x, w)
+
+    assert np.abs(np.asarray(got) - np.asarray(want)).max() < 1e-4
+
+
 def testWinogradApplicable():
     from puzzlelib_tpu.ops.pallas.winograd import applicable
 

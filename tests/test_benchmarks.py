@@ -36,3 +36,31 @@ def testBenchCli():
     import json
     line = json.loads(r.stdout.strip().splitlines()[-1])
     assert {"metric", "value", "unit", "vs_baseline"} <= set(line), line
+
+
+def testTimingHelpers():
+    """scanChain computes the right value; marginalTime returns a sane
+    positive per-op time on CPU."""
+    import os
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+    import numpy as np
+    import jax.numpy as jnp
+    from puzzlelib_tpu.benchmarks.timing import scanChain, marginalTime, deltaBank
+
+    x = jnp.asarray(np.arange(16.0, dtype=np.float32))
+
+    def fn(i, x):
+        return x + i.astype(jnp.float32)
+
+    out = float(scanChain(fn, 4)(x))
+    assert out == sum(15.0 + i for i in range(4)), out
+
+    d = deltaBank((4, ), jnp.float32, 8)
+    assert d.shape == (8, 4)
+
+    sec = marginalTime(lambda i, x, d: (x + d[i % 8] @ jnp.ones((4, )))
+                       .reshape(16),
+                       (x.reshape(4, 4)[:, :1] * jnp.ones((4, 4)), d),
+                       reps1=2, reps2=6, k=2)
+    assert np.isfinite(sec)

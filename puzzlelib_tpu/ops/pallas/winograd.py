@@ -655,6 +655,20 @@ def _pickBlockFG(th, twp, c, cob, itemsize, vmemBudget=13 * 2 ** 20):
     return bestBi
 
 
+def _pickFG(th, twp, c, co, itemsize):
+    """(bi, cob) under the VMEM budget: full-CO accumulators when they fit,
+    CO-chunked otherwise (the f32 dU accumulator is the big tenant)."""
+    for cob in (256, 128):
+        if co % cob != 0:
+            continue
+
+        bi = _pickBlockFG(th, twp, c, cob, itemsize)
+        if bi is not None:
+            return bi, cob
+
+    return None
+
+
 def filterGradApplicable(xshape, dyshape, stride, pad, dilation, groups,
                          dtype=jnp.bfloat16):
     """Static eligibility for the transform-domain bwd-filter (NCHW)."""
@@ -675,10 +689,9 @@ def filterGradApplicable(xshape, dyshape, stride, pad, dilation, groups,
         return False
 
     th, tw = -(-oh // 2), -(-ow // 2)
-    cob = _chunkC(co)
     itemsize = np.dtype(dtype).itemsize
 
-    return _pickBlockFG(th, tw + 1, c, cob, itemsize) is not None
+    return _pickFG(th, tw + 1, c, co, itemsize) is not None
 
 
 def filterGradNHWC(x, dy, pad=(0, 0), bi=None, interpret=False):
@@ -689,14 +702,16 @@ def filterGradNHWC(x, dy, pad=(0, 0), bi=None, interpret=False):
 
     th, tw = -(-oh // 2), -(-ow // 2)
     twp = tw + 1
-    cob = _chunkC(co)
     itemsize = np.dtype(x.dtype).itemsize
 
+    picked = _pickFG(th, twp, c, co, itemsize)
+    if picked is None:
+        raise ValueError("no VMEM-feasible block for %s filterGrad %s"
+                         % (x.shape, dy.shape))
+    cob = picked[1]
+
     if bi is None:
-        bi = _pickBlockFG(th, twp, c, cob, itemsize)
-        if bi is None:
-            raise ValueError("no VMEM-feasible block for %s filterGrad %s"
-                             % (x.shape, dy.shape))
+        bi = picked[0]
 
     nBlocks = -(-th // bi)
     mb = bi * twp

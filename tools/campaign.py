@@ -77,8 +77,8 @@ def algoChoice():
 
 
 def main():
-    sections = sys.argv[1:] or ["fg", "convspeed", "gemm", "algochoice",
-                                "attn", "nets"]
+    sections = sys.argv[1:] or ["fg", "convspeed", "fg11", "gemm", "int8",
+                                "algochoice", "attn", "nets"]
 
     # probe first: a wedged relay should fail fast, not eat the window
     import numpy as np
@@ -95,6 +95,10 @@ def main():
             runSection("convspeed", lambda: capture(["tools/remeasure_bench.py", "convspeed"]))
         elif name == "gemm":
             runSection("gemm", lambda: capture(["tools/remeasure_bench.py", "gemm"]))
+        elif name == "fg11":
+            runSection("fg11", lambda: capture(["tools/remeasure_bench.py", "fg11"]))
+        elif name == "int8":
+            runSection("int8", lambda: capture(["tools/remeasure_bench.py", "int8"]))
         elif name == "algochoice":
             runSection("algochoice", algoChoice)
         elif name == "attn":

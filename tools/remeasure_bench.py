@@ -210,13 +210,83 @@ def reportGemm():
         print("gemm pallas FAILED %s" % str(exc)[:200], flush=True)
 
 
+def reportInt8():
+    """Serving-path int8 GEMM kernel rate vs bf16 at the same geometry.
+
+    The round-2 reading (257 TOP/s = 65% of the 394 TOP/s i8 peak) came
+    from the chain-averaging harness; hypothesis (docs/kernels.md): the
+    deficit is the fixed ~10-19 ms relay cost on a ~22 ms kernel, i.e. the
+    kernel itself is near peak and no feed fix is needed.
+    """
+    m, k, n = 8192, 65536, 8192
+    flops = 2.0 * m * k * n
+
+    kA, kB = jax.random.split(jax.random.key(0))
+    ai = jax.random.randint(kA, (m, k), -127, 127, jnp.int8)
+    bi = jax.random.randint(kB, (k, n), -127, 127, jnp.int8)
+    deltas = jax.random.randint(jax.random.key(3), (48, 8, n), -2, 2, jnp.int8)
+    fence(ai); fence(deltas)
+
+    def ig(i, a, b, deltas):
+        bp = b.at[:8].add(deltas[i])
+        return lax.dot_general(a, bp, (((1, ), (0, )), ((), ())),
+                               preferred_element_type=jnp.int32)
+
+    sec = marginal(ig, (ai, bi, deltas), reps1=2, reps2=8)
+    print("int8 8kx64kx8k xla %8.1f us  %7.2f TOP/s (%5.1f%% of 394)"
+          % (sec * 1e6, flops / sec / 1e12, flops / sec / 394e12 * 100), flush=True)
+
+    ab = (jax.random.normal(kA, (m, k), jnp.float32) * 0.1).astype(jnp.bfloat16)
+    bb = (jax.random.normal(kB, (k, n), jnp.float32) * 0.1).astype(jnp.bfloat16)
+    deltasB = (jax.random.normal(jax.random.key(4), (48, 8, n), jnp.float32)
+               * 0.01).astype(jnp.bfloat16)
+    fence(ab); fence(deltasB)
+
+    def bg(i, a, b, deltas):
+        bp = b.at[:8].add(deltas[i])
+        return jnp.dot(a, bp, preferred_element_type=jnp.float32).astype(a.dtype)
+
+    sec = marginal(bg, (ab, bb, deltasB), reps1=2, reps2=8)
+    print("bf16 8kx64kx8k xla %8.1f us  %7.2f TF/s (%5.1f%% of 197)"
+          % (sec * 1e6, flops / sec / 1e12, flops / sec / 197e12 * 100), flush=True)
+
+
+def reportFG11():
+    """Honest bwd-filter at the reference ConvSpeed shape (11x11, co=64).
+
+    docs/kernels.md "CO-wall" proves any MXU schedule is <=50% of peak
+    here; this records the honest XLA number for PARITY."""
+    from puzzlelib_tpu.ops import conv as opsconv
+
+    n, c, h, wd = 128, 32, 64, 64
+    co, kh, kw = 64, 11, 11
+    oh = ow = h - kh + 1
+    flops = 2.0 * n * co * oh * ow * c * kh * kw
+
+    kx, kg = jax.random.split(jax.random.key(1))
+    x = (jax.random.normal(kx, (n, c, h, wd), jnp.float32) * 0.3).astype(jnp.bfloat16)
+    dy = (jax.random.normal(kg, (n, co, oh, ow), jnp.float32) * 0.1).astype(jnp.bfloat16)
+    deltas = (jax.random.normal(jax.random.key(5), (48, n, co, 8, ow),
+                                jnp.float32) * 0.01).astype(jnp.bfloat16)
+    fence(x); fence(deltas)
+
+    def fg(i, x, dy, deltas):
+        dyp = dy.at[:, :, :8].add(deltas[i])
+        return opsconv._filterGradDenseNhwc(x, dyp, (kh, kw), (1, 1), (0, 0), (1, 1))
+
+    sec = marginal(fg, (x, dy, deltas), reps1=6, reps2=22)
+    print("convspeed FG xla %8.1f us  %7.2f TF/s (%5.1f%%)"
+          % (sec * 1e6, flops / sec / 1e12, flops / sec / 197e12 * 100), flush=True)
+
+
 def main():
     enableCompileCache()
 
     sections = sys.argv[1:] or ["fg", "convspeed", "gemm"]
 
     for s in sections:
-        {"fg": reportFG, "convspeed": reportConvSpeed, "gemm": reportGemm}[s]()
+        {"fg": reportFG, "convspeed": reportConvSpeed, "gemm": reportGemm,
+         "int8": reportInt8, "fg11": reportFG11}[s]()
 
 
 if __name__ == "__main__":

@@ -124,7 +124,7 @@ def convHcwn(xT, wk, *, kh, kw, c, co, oh, ow, th, owb, r=1, interpret=False):
         ),
         grid=(nb, nOht, nOwt, th // r),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),        # x stays in HBM, manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),        # x stays in HBM, manual DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),       # packed filter, resident
         ],
         out_specs=pl.BlockSpec(

@@ -121,7 +121,7 @@ def _convHC(xT, wk, *, kh, kw, c, co, nrows, nTiles, interpret=False):
         ),
         grid=(nb, nTiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # x in HBM, manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),       # x in HBM, manual DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),      # filter resident
         ],
         out_specs=pl.BlockSpec((1, nrows * co, LANES), lambda nbI, t: (nbI, t, 0)),

@@ -78,7 +78,7 @@ def algoChoice():
 
 def main():
     sections = sys.argv[1:] or ["fg", "convspeed", "fg11", "gemm", "int8",
-                                "algochoice", "attn", "nets"]
+                                "algochoice", "attn", "nets", "profiles"]
 
     # probe first: a wedged relay should fail fast, not eat the window
     import numpy as np
@@ -111,6 +111,13 @@ def main():
             runSection("resnet50-many", lambda: capture(
                 ["-m", "puzzlelib_tpu.benchmarks.netspeed", "--net", "resnet50",
                  "--batch", "32", "--dtype", "bfloat16", "--many", "4"]))
+        elif name == "profiles":
+            runSection("vgg16-profile", lambda: capture(
+                ["-m", "puzzlelib_tpu.benchmarks.netspeed", "--net", "vgg16",
+                 "--batch", "32", "--dtype", "bfloat16", "--profile"]))
+            runSection("resnet50-profile", lambda: capture(
+                ["-m", "puzzlelib_tpu.benchmarks.netspeed", "--net", "resnet50",
+                 "--batch", "32", "--dtype", "bfloat16", "--profile"]))
 
 
 if __name__ == "__main__":

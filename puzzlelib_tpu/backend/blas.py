@@ -70,6 +70,12 @@ def _pallasGemmTiles(A, B):
     if Config.gemmAlgo == "xla" or _pallasGemmBroken or B.ndim != 2:
         return None
 
+    # GSPMD mesh tracing: an opaque pallas_call can't be sharded by the
+    # partitioner - same gate the conv paths honor (ops.conv.disablePallas)
+    from puzzlelib_tpu.ops import conv as _opsconv
+    if _opsconv._pallasDisabled:
+        return None
+
     from puzzlelib_tpu.ops.pallas import matmul as _plmm
 
     m, k = A.shape

@@ -22,10 +22,11 @@ def timeGrad(gradFn, q, k, v, causal, reps=(4, 12)):
 
     from puzzlelib_tpu.benchmarks.timing import deltaBank, marginalTime
 
-    deltas = deltaBank((8, ) + q.shape[2:], q.dtype, max(reps), seed=5)
+    rows = min(8, q.shape[1])
+    deltas = deltaBank((rows, ) + q.shape[2:], q.dtype, max(reps), seed=5)
 
     def step(i, q, k, v, d):
-        dq, dk, dv = gradFn(q.at[:, :8].add(d[i]), k, v, causal)
+        dq, dk, dv = gradFn(q.at[:, :rows].add(d[i]), k, v, causal)
         return (jnp.max(dq.astype(jnp.float32))
                 + jnp.max(dk.astype(jnp.float32))
                 + jnp.max(dv.astype(jnp.float32))).reshape(1)

@@ -46,11 +46,8 @@ def chainRate(datashape=(128, 32, 64, 64), Wshape=(64, 32, 11, 11), pad=0,
     # the shapes PARITY quotes as Pallas numbers must actually trace Pallas:
     # a silent probe-compile fallback would otherwise report an XLA time
     # under a Pallas label (docs/kernels.md "Dispatch rule")
-    from puzzlelib_tpu.ops.pallas import conv as _pconv
-    import jax as _jax
-    eligible = (_jax.default_backend() != "cpu"
-                and _pconv.applicable(datashape, Wshape, (1, 1), (pad, pad), (1, 1), 1)
-                and (Wshape[0] <= 48 or (kh * kw >= 81 and Wshape[0] < 128)) and n >= 96)
+    eligible = opsconv.pallasEligible(datashape, Wshape, (1, 1), (pad, pad),
+                                      (1, 1), 1)
     if eligible and not pallasRan:
         raise AssertionError(
             "Pallas-eligible ConvSpeed shape fell back to XLA - probe-compile "

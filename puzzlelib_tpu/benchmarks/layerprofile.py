@@ -61,7 +61,11 @@ def _flopsOf(mod, inshape, outshape):
         return 2.0 * inshape[0] * int(np.prod(mod.W.shape))
 
     if kind == "GroupLinear" and mod.W is not None:
-        return 2.0 * inshape[0] * int(np.prod(mod.W.shape))
+        # every group multiplies the batch regardless of wmode sharing, and
+        # batchDim=1 layouts put the group axis first
+        batch = inshape[0] if mod.groupDim != 0 else inshape[1]
+        rows, cols = mod.W.shape[-2], mod.W.shape[-1]
+        return 2.0 * batch * mod.groups * rows * cols
 
     return None
 

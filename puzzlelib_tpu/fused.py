@@ -131,16 +131,24 @@ def functionalize(module):
     module tree, so identical structure means identical order).
     """
     buffers = collectParamBuffers(module)
+    originals = [buf.jax for buf in buffers]
 
     def apply(params, x):
         for buf, arr in zip(buffers, params):
             buf._write(arr)
 
-        out = module(GPUArray(x))
-        module.reset()
-        return out.jax
+        try:
+            out = module(GPUArray(x))
+            return out.jax
+        finally:
+            # restore the concrete pre-trace weights: without this a
+            # jit-traced apply leaves tracers in the live module's buffers
+            # and any later eager use of the net dereferences a dead trace
+            for buf, arr in zip(buffers, originals):
+                buf._write(arr)
+            module.reset()
 
-    return apply, [buf.jax for buf in buffers]
+    return apply, originals
 
 
 def tensorParallelSpecs(module, cost, optimizer, mesh, modelAxis="model"):

@@ -59,7 +59,9 @@ def mhaForward(x, wq, wk, wv, wo, bq, bk, bv, bo, nheads, causal=False, algo="xl
 
     q, k, v = proj(wq, bq), proj(wk, bk), proj(wv, bv)
 
-    if algo == "flash":
+    from puzzlelib_tpu.ops import conv as _opsconv
+
+    if algo == "flash" and not _opsconv._pallasDisabled:
         from puzzlelib_tpu.ops.pallas.flash import flashAttention
         out = flashAttention(q, k, v, causal=causal)
     else:

@@ -151,6 +151,36 @@ def _tryWinograd(x, w, stride, pad, dilation, groups):
         return None
 
 
+def pallasEligible(datashape, Wshape, stride, pad, dilation, groups,
+                   dtype=jnp.bfloat16):
+    """Would ``_tryPallas`` route this signature to the batch-in-lanes kernel
+    (before its probe-compile)?  Exposed so benchmark dispatch assertions
+    share the real rule instead of a copy that can rot out of sync."""
+    from puzzlelib_tpu import config as Config
+
+    algo = getattr(Config, "convAlgo", "auto")
+    if algo == "xla" or _pallasDisabled or jax.default_backend() == "cpu":
+        return False
+
+    if np.dtype(dtype) != np.dtype(jnp.bfloat16):
+        return False
+
+    co = Wshape[0]
+    smallCo = co <= 48 and datashape[0] >= 96
+    # XLA's channels-last conv is excellent once co fills the 128 lanes
+    # (measured 84-86% of peak on 7x7 co=128 OpenPose shapes); the HCWN
+    # kernel's edge is shapes where co leaves lanes idle
+    bigKernel = (len(Wshape) == 4 and Wshape[2] * Wshape[3] >= 81
+                 and co < 128 and datashape[0] >= 96)
+
+    if algo != "pallas" and not (smallCo or bigKernel):
+        return False
+
+    from puzzlelib_tpu.ops.pallas import conv as pconv
+    return pconv.applicable(tuple(datashape), tuple(Wshape), tuple(stride),
+                            tuple(pad), tuple(dilation), groups, dtype)
+
+
 def _tryPallas(x, w, stride, pad, dilation, groups):
     """Batch-in-lanes Pallas kernel for the shapes where it beats XLA:
 
@@ -162,30 +192,11 @@ def _tryPallas(x, w, stride, pad, dilation, groups):
 
     Small-kernel (3x3) forwards stay on XLA, which ties or wins there.
     Returns None when not applicable."""
-    from puzzlelib_tpu import config as Config
-
-    algo = getattr(Config, "convAlgo", "auto")
-    if algo == "xla" or _pallasDisabled or jax.default_backend() == "cpu":
-        return None
-
-    if x.dtype != jnp.bfloat16 or w.dtype != jnp.bfloat16:
-        return None
-
-    co = w.shape[0]
-    smallCo = co <= 48 and x.shape[0] >= 96
-    # XLA's channels-last conv is excellent once co fills the 128 lanes
-    # (measured 84-86% of peak on 7x7 co=128 OpenPose shapes); the HCWN
-    # kernel's edge is shapes where co leaves lanes idle
-    bigKernel = (len(w.shape) == 4 and w.shape[2] * w.shape[3] >= 81
-                 and co < 128 and x.shape[0] >= 96)
-
-    if algo != "pallas" and not (smallCo or bigKernel):
+    if w.dtype != jnp.bfloat16 or not pallasEligible(
+            x.shape, w.shape, stride, pad, dilation, groups, x.dtype):
         return None
 
     from puzzlelib_tpu.ops.pallas import conv as pconv
-
-    if not pconv.applicable(x.shape, w.shape, stride, pad, dilation, groups, x.dtype):
-        return None
 
     key = (x.shape, w.shape, tuple(pad), str(x.dtype))
     if key in _pallasFailed:
@@ -246,7 +257,8 @@ def measureAlgoChoice(datashape, Wshape, stride, pad, dilation, groups,
     dy = (jax.random.normal(key, (n, oh, ow, co), jnp.float32) * 0.1).astype(dtype)
     deltas = (jax.random.normal(key, (reps, ) + tuple(Wshape), jnp.float32)
               * 0.01).astype(dtype)
-    dyDeltas = (jax.random.normal(key, (reps, n, 8, ow, co), jnp.float32)
+    dyRows = min(8, oh)
+    dyDeltas = (jax.random.normal(key, (reps, n, dyRows, ow, co), jnp.float32)
                 * 0.01).astype(dtype)
 
     def minTime(f, args):
@@ -282,13 +294,13 @@ def measureAlgoChoice(datashape, Wshape, stride, pad, dilation, groups,
         return pwino.conv2dNHWC(x, w + deltas[i], pad)
 
     def xlaFG(i, x, dy, dyDeltas):
-        dyp = dy.at[:, :8].add(dyDeltas[i])
+        dyp = dy.at[:, :dyRows].add(dyDeltas[i])
         xb = jnp.transpose(x, (0, 3, 1, 2))
         dyb = jnp.transpose(dyp, (0, 3, 1, 2))
         return _filterGradDenseNhwc(xb, dyb, (3, 3), stride, pad, dilation)
 
     def winoFG(i, x, dy, dyDeltas):
-        return pwino.filterGradNHWC(x, dy.at[:, :8].add(dyDeltas[i]), pad)
+        return pwino.filterGradNHWC(x, dy.at[:, :dyRows].add(dyDeltas[i]), pad)
 
     results = {}
 
@@ -346,6 +358,17 @@ def measureAlgoChoice(datashape, Wshape, stride, pad, dilation, groups,
         except Exception:
             logger.warning("winograd bwd-data comparison failed for %s; "
                            "keeping XLA", (datashape, Wshape))
+
+    # dispatch reads _algoChoice at trace time: any jit that already traced
+    # this signature would keep its pre-measurement choice forever (same
+    # hazard the tile autotuner clears, pallas/conv.py autotune)
+    if results:
+        for fn in (convNd, convNdBackwardData, convNdBackwardParams,
+                   deconvNd, deconvNdBackwardData):
+            try:
+                fn.clear_cache()
+            except Exception:
+                pass
 
     return results
 

@@ -261,9 +261,10 @@ def _vmemBytes(bi, twp, c, cb, co, itemsize, scheme="mcat"):
 
 def _pickBlock(th, twp, c, cb, co, itemsize, vmemBudget=13 * 2 ** 20):
     """Largest tile-row block under the VMEM budget (MB >= ~128 for the MXU,
-    minimal padded-row overhead).  Returns (bi, scheme) or None: the 16-block
-    "mcat" inverse is preferred; the 4-accumulator "rmw" inverse is the
-    fallback that lets C = CO = 512 shapes keep the filter resident."""
+    minimal padded-row overhead).  Returns (bi, scheme) or None: the
+    4-accumulator "rmw" inverse is preferred (measured faster and 4x less m
+    scratch, letting C = CO = 512 shapes keep the filter resident); the
+    16-block "mcat" inverse is the fallback."""
     for scheme in ("rmw", "mcat"):
         best, bestBi = None, None
 
@@ -364,7 +365,7 @@ def conv2dNHWC(x, w, pad=(0, 0), bi=None, scheme=None, interpret=False):
             raise ValueError("no VMEM-feasible block for %s conv %s" % (x.shape, w.shape))
         bi, scheme = picked if scheme is None else (picked[0], scheme)
     elif scheme is None:
-        scheme = "mcat"
+        scheme = "rmw"
 
     nBlocks = -(-th // bi)
     nCc = c // cb

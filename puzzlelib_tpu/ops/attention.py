@@ -41,8 +41,18 @@ def attentionBackward(q, k, v, grad, causal=False):
     return vjp(grad)
 
 
-@partial(jax.jit, static_argnames=("nheads", "causal", "algo"))
-def mhaForward(x, wq, wk, wv, wo, bq, bk, bv, bo, nheads, causal=False, algo="xla"):
+def _gateKeyed(jitted):
+    # the disablePallas state must be part of the cache key (see
+    # ops.conv._pallasGateKey); reuse that wrapper lazily to avoid an
+    # import cycle at module load
+    from puzzlelib_tpu.ops.conv import _pallasGateKey
+    return _pallasGateKey(jitted)
+
+
+@_gateKeyed
+@partial(jax.jit, static_argnames=("nheads", "causal", "algo", "xlaOnly"))
+def mhaForward(x, wq, wk, wv, wo, bq, bk, bv, bo, nheads, causal=False, algo="xla",
+               xlaOnly=False):
     """Full multi-head attention block: (batch, seq, emb) -> (batch, seq, emb).
 
     Weights are (emb, emb); heads split the embedding dim. ``algo="flash"``

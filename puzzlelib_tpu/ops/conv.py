@@ -26,6 +26,7 @@ owns scheduling, and `optimizeForShape` maps to ahead-of-time compilation.
 """
 
 import logging
+import functools
 from functools import partial
 
 import numpy as np
@@ -98,6 +99,25 @@ class disablePallas:
     def __exit__(self, *exc):
         global _pallasDisabled
         _pallasDisabled -= 1
+
+
+def _pallasGateKey(jitted):
+    """Make the ``disablePallas`` state part of a jitted op's cache key.
+
+    Dispatch reads module globals at trace time, which the jit caches never
+    see - including the tracing cache consulted when the op is invoked under
+    an OUTER trace, which ``Function.clear_cache`` does not touch.  Without
+    the key a signature traced on one side of the gate is replayed verbatim
+    on the other: a pallas_call smuggled into a mesh trace, or an XLA-only
+    jaxpr pinned onto the eager fast path.  The wrapped function must accept
+    a static ``xlaOnly`` keyword (unused in the body; the globals still make
+    the decision - this only splits the cache entries)."""
+    @functools.wraps(jitted)
+    def wrapper(*args, **kw):
+        return jitted(*args, xlaOnly=bool(_pallasDisabled), **kw)
+
+    wrapper.clear_cache = jitted.clear_cache
+    return wrapper
 
 
 def _tryWinograd(x, w, stride, pad, dilation, groups):
@@ -424,8 +444,9 @@ def _convCore(x, w, stride, pad, dilation, groups):
     ).astype(x.dtype)
 
 
-@partial(jax.jit, static_argnames=("stride", "pad", "dilation", "groups", "hasBias"))
-def convNd(x, w, b, stride, pad, dilation, groups, hasBias=False):
+@_pallasGateKey
+@partial(jax.jit, static_argnames=("stride", "pad", "dilation", "groups", "hasBias", "xlaOnly"))
+def convNd(x, w, b, stride, pad, dilation, groups, hasBias=False, xlaOnly=False):
     out = _convCore(x, w, stride, pad, dilation, groups)
 
     if hasBias:
@@ -571,8 +592,9 @@ def _filterGrad(x, grad, size, stride, pad, dilation, groups):
     return jnp.concatenate(parts, axis=0)
 
 
-@partial(jax.jit, static_argnames=("stride", "pad", "dilation", "groups", "hasBias"))
-def convNdBackwardParams(x, grad, wshape_w, stride, pad, dilation, groups, hasBias=False):
+@_pallasGateKey
+@partial(jax.jit, static_argnames=("stride", "pad", "dilation", "groups", "hasBias", "xlaOnly"))
+def convNdBackwardParams(x, grad, wshape_w, stride, pad, dilation, groups, hasBias=False, xlaOnly=False):
     size = wshape_w.shape[2:]
     dw = _filterGrad(x, grad, size, stride, pad, dilation, groups).astype(wshape_w.dtype)
 
@@ -659,8 +681,9 @@ def _strideAdjust(inspatial, size, stride, pad, dilation):
     )
 
 
-@partial(jax.jit, static_argnames=("xshape", "stride", "pad", "dilation", "groups"))
-def convNdBackwardData(grad, w, xshape, stride, pad, dilation, groups):
+@_pallasGateKey
+@partial(jax.jit, static_argnames=("xshape", "stride", "pad", "dilation", "groups", "xlaOnly"))
+def convNdBackwardData(grad, w, xshape, stride, pad, dilation, groups, xlaOnly=False):
     size = w.shape[2:]
     adj = _strideAdjust(xshape[2:], size, stride, pad, dilation)
 
@@ -669,8 +692,9 @@ def convNdBackwardData(grad, w, xshape, stride, pad, dilation, groups):
 
 # -- deconvolution (transposed conv, cuDNN-style: fwd == conv bwd-data) ---------
 
-@partial(jax.jit, static_argnames=("stride", "pad", "dilation", "postpad", "groups", "hasBias"))
-def deconvNd(x, w, b, stride, pad, dilation, postpad, groups, hasBias=False):
+@_pallasGateKey
+@partial(jax.jit, static_argnames=("stride", "pad", "dilation", "postpad", "groups", "hasBias", "xlaOnly"))
+def deconvNd(x, w, b, stride, pad, dilation, postpad, groups, hasBias=False, xlaOnly=False):
     # deconv kernel is (inmaps, outmaps//groups, *size): exactly the forward-
     # conv kernel of the reverse direction, so fwd == transposed conv with
     # postpad as the stride adjustment
@@ -682,15 +706,17 @@ def deconvNd(x, w, b, stride, pad, dilation, postpad, groups, hasBias=False):
     return out
 
 
-@partial(jax.jit, static_argnames=("stride", "pad", "dilation", "groups"))
-def deconvNdBackwardData(grad, w, stride, pad, dilation, groups):
+@_pallasGateKey
+@partial(jax.jit, static_argnames=("stride", "pad", "dilation", "groups", "xlaOnly"))
+def deconvNdBackwardData(grad, w, stride, pad, dilation, groups, xlaOnly=False):
     # gradient of deconv wrt input == the plain forward conv of grad with w
     # (w is already OIHW for that direction: O=inmaps, I=outmaps//groups)
     return _convCore(grad, w, stride, pad, dilation, groups)
 
 
-@partial(jax.jit, static_argnames=("stride", "pad", "dilation", "postpad", "groups", "hasBias"))
-def deconvNdBackwardParams(x, grad, w, stride, pad, dilation, postpad, groups, hasBias=False):
+@_pallasGateKey
+@partial(jax.jit, static_argnames=("stride", "pad", "dilation", "postpad", "groups", "hasBias", "xlaOnly"))
+def deconvNdBackwardParams(x, grad, w, stride, pad, dilation, postpad, groups, hasBias=False, xlaOnly=False):
     # deconv is the conv that maps grad-space -> x-space, so its filter
     # gradient is the forward-conv filter gradient with the roles swapped
     size = w.shape[2:]

@@ -283,3 +283,50 @@ def testFusedMeshRaggedBatch():
     assert np.isfinite(err)
     assert np.allclose(seq[0].W.get(), seqS[0].W.get(), atol=1e-5)
     assert abs(err - costS.getMeanError()) < 1e-5
+
+
+def testDisablePallasGatesGemmAndFlash(monkeypatch):
+    """Mesh tracing must suppress EVERY Pallas path, not just convs: the
+    GSPMD partitioner cannot shard an opaque pallas_call and would replicate
+    its operands across the mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from puzzlelib_tpu import config as Config
+    from puzzlelib_tpu.backend import blas
+    from puzzlelib_tpu.ops import conv as opsconv
+    from puzzlelib_tpu.ops import attention
+    from puzzlelib_tpu.tensor import GPUArray
+
+    monkeypatch.setattr(Config, "gemmAlgo", "pallas")
+
+    A = GPUArray(jnp.zeros((256, 256), jnp.float32))
+    B = GPUArray(jnp.zeros((256, 256), jnp.float32))
+
+    assert blas._pallasGemmTiles(A, B) is not None
+    with opsconv.disablePallas():
+        assert blas._pallasGemmTiles(A, B) is None
+
+    x = jnp.zeros((2, 8, 32), jnp.float32)
+    wq = wk = wv = wo = jnp.zeros((32, 32), jnp.float32)
+
+    def makeMha():
+        # a FRESH closure per trace: jax.make_jaxpr caches on the outer
+        # function object, which would mask the inner dispatch entirely
+        def mha(*args):
+            return attention.mhaForward(*args, None, None, None, None,
+                                        nheads=4, causal=False, algo="flash")
+        return mha
+
+    ungated = str(jax.make_jaxpr(makeMha())(x, wq, wk, wv, wo))
+    assert "pallas_call" in ungated, "flash trace should embed a pallas_call"
+
+    # the same signature traced inside the gate must NOT replay the cached
+    # flash jaxpr (the gate state is part of the jit cache key)
+    with opsconv.disablePallas():
+        gated = str(jax.make_jaxpr(makeMha())(x, wq, wk, wv, wo))
+    assert "pallas_call" not in gated
+
+    # ... and leaving the gate must not pin the XLA-only trace either
+    after = str(jax.make_jaxpr(makeMha())(x, wq, wk, wv, wo))
+    assert "pallas_call" in after

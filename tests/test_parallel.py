@@ -330,3 +330,53 @@ def testDisablePallasGatesGemmAndFlash(monkeypatch):
     # ... and leaving the gate must not pin the XLA-only trace either
     after = str(jax.make_jaxpr(makeMha())(x, wq, wk, wv, wo))
     assert "pallas_call" in after
+
+
+def testMeshStepHloContainsCollectives():
+    """White-box GSPMD check: the partitioned DP train step must synchronize
+    gradients with a cross-device collective (all-reduce), i.e. the SPMD
+    partitioner actually sharded the step instead of replicating it."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from puzzlelib_tpu.containers import Sequential
+    from puzzlelib_tpu.modules import Linear, Activation, relu
+    from puzzlelib_tpu.cost import MSE
+    from puzzlelib_tpu.optimizers import MomentumSGD
+    from puzzlelib_tpu.fused import FusedStep
+
+    ndev = len(jax.devices())
+    if ndev < 2:
+        import pytest
+        pytest.skip("needs a multi-device mesh")
+
+    mesh = Mesh(np.array(jax.devices()), axis_names=("data", ))
+
+    seq = Sequential()
+    seq.append(Linear(8, 6))
+    seq.append(Activation(relu))
+    seq.append(Linear(6, 4))
+    opt = MomentumSGD(learnRate=0.05)
+    opt.setupOn(seq, useGlobalState=True)
+    step = FusedStep(seq, MSE(), opt, mesh=mesh)
+
+    data = jnp.zeros((4 * ndev, 8), jnp.float32)
+    target = jnp.zeros((4 * ndev, 4), jnp.float32)
+
+    state = [buf.jax for buf in step.buffers]
+    originals = list(state)
+    hyper = step._hyper()
+
+    try:
+        lowered = step._jitted.lower(state, hyper,
+                                     jnp.asarray(1.0, jnp.float32),
+                                     jax.random.key(0), data, target)
+        hlo = lowered.compile().as_text()
+    finally:
+        # _traceStep leaves traced values in the live buffers; restore
+        for buf, arr in zip(step.buffers, originals):
+            buf._write(arr)
+        seq.reset()
+
+    assert "all-reduce" in hlo, "DP grad sync must lower to an all-reduce"

@@ -87,6 +87,16 @@ def kernelRate(iters=4):
     print("kernel-rate 8192x65536x8192 int8 | xla    %7.2f TOP/s (%4.1f%% peak)" % (
         flops / sec / 1e12, 100 * flops / sec / PEAKS["int8"]))
 
+    try:
+        sec = marginalTime(
+            lambda i, x, y, d: pm.matmul(x, y.at[:8].add(d[i]),
+                                         bm=1024, bn=1024, bk=1024),
+            (ai, bi, di), reps1=2, reps2=6, k=3)
+        print("kernel-rate 8192x65536x8192 int8 | pallas %7.2f TOP/s (%4.1f%% peak)" % (
+            flops / sec / 1e12, 100 * flops / sec / PEAKS["int8"]))
+    except Exception as exc:
+        print("kernel-rate int8 pallas failed: %s" % str(exc)[:120])
+
 
 def main():
     parser = argparse.ArgumentParser()

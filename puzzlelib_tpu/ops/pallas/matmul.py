@@ -29,9 +29,11 @@ def _matmulKernel(aRef, bRef, outRef, accRef, *, nk):
     #                  match the XLA dot under the framework's default
     #   bf16/f16    -> DEFAULT: single MXU pass, exact for bf16 operands,
     #                  f32 accumulation in the VMEM scratch
+    #   int8        -> DEFAULT: native MXU int8 passes (2x bf16 rate on v5e),
+    #                  exact int32 accumulation in the VMEM scratch
     prec = jax.lax.Precision.HIGHEST if aRef.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
-    accRef[...] += jnp.dot(aRef[...], bRef[...], preferred_element_type=jnp.float32,
-                           precision=prec)
+    accRef[...] += jnp.dot(aRef[...], bRef[...],
+                           preferred_element_type=accRef.dtype, precision=prec)
 
     @pl.when(k == nk - 1)
     def _():
@@ -41,9 +43,17 @@ def _matmulKernel(aRef, bRef, outRef, accRef, *, nk):
 @functools.partial(jax.jit, static_argnames=("bm", "bn", "bk", "interpret"))
 def matmul(a, b, bm=512, bn=512, bk=512, interpret=False):
     """a (M, K) @ b (K, N) -> (M, N); M, N, K should be multiples of the tiles
-    (the dispatch layer pads otherwise)."""
+    (the dispatch layer pads otherwise).
+
+    int8 operands accumulate exactly in an int32 VMEM scratch and return int32
+    (the serving-path quantized GEMM; reference analog: the TensorRT int8
+    engines, Converter/TensorRT/BuildRTEngine.py:181-193)."""
     m, k = a.shape
     _, n = b.shape
+
+    isInt = jnp.issubdtype(a.dtype, jnp.integer)
+    accDt = jnp.int32 if isInt else jnp.float32
+    outDt = jnp.int32 if isInt else a.dtype
 
     bm, bn, bk = min(bm, m), min(bn, n), min(bk, k)
     nk = pl.cdiv(k, bk)
@@ -58,8 +68,8 @@ def matmul(a, b, bm=512, bn=512, bk=512, interpret=False):
             pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j)),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((m, n), a.dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((m, n), outDt),
+        scratch_shapes=[pltpu.VMEM((bm, bn), accDt)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -77,7 +87,9 @@ def matmulPadded(a, b, bm=512, bn=512, bk=512, interpret=False):
     m, k = a.shape
     _, n = b.shape
 
-    mp = -(-m // 8) * 8 if m < bm else -(-m // bm) * bm
+    # sublane granularity scales with packing: 8 rows f32, 16 bf16, 32 int8
+    sub = {1: 32, 2: 16, 4: 8}.get(np.dtype(a.dtype).itemsize, 8)
+    mp = -(-m // sub) * sub if m < bm else -(-m // bm) * bm
     npad = -(-n // 128) * 128 if n < bn else -(-n // bn) * bn
     kp = -(-k // 128) * 128 if k < bk else -(-k // bk) * bk
 

@@ -25,6 +25,28 @@ def testPallasMatmulPadding():
     assert np.allclose(np.asarray(out), np.asarray(a) @ np.asarray(b), atol=1e-4)
 
 
+def testPallasMatmulInt8Interpret():
+    """int8 operands: exact int32 accumulation, int32 result (serving GEMM)."""
+    from puzzlelib_tpu.ops.pallas.matmul import matmul, matmulPadded
+
+    rng = np.random.RandomState(2)
+    a = jnp.asarray(rng.randint(-127, 128, (256, 384)), jnp.int8)
+    b = jnp.asarray(rng.randint(-127, 128, (384, 256)), jnp.int8)
+
+    out = matmul(a, b, bm=128, bn=128, bk=128, interpret=True)
+    want = np.asarray(a, np.int32) @ np.asarray(b, np.int32)
+    assert out.dtype == jnp.int32
+    assert np.array_equal(np.asarray(out), want)
+
+    # ragged shapes through the padding wrapper (int8 sublane granule is 32)
+    ar = jnp.asarray(rng.randint(-127, 128, (100, 200)), jnp.int8)
+    br = jnp.asarray(rng.randint(-127, 128, (200, 60)), jnp.int8)
+    outr = matmulPadded(ar, br, bm=128, bn=128, bk=128, interpret=True)
+    assert outr.shape == (100, 60) and outr.dtype == jnp.int32
+    assert np.array_equal(np.asarray(outr),
+                          np.asarray(ar, np.int32) @ np.asarray(br, np.int32))
+
+
 def testGemmAlgoDispatch():
     from puzzlelib_tpu import config as Config
     from puzzlelib_tpu.backend import gpuarray, blas as Blas

@@ -236,6 +236,21 @@ def reportInt8():
     print("int8 8kx64kx8k xla %8.1f us  %7.2f TOP/s (%5.1f%% of 394)"
           % (sec * 1e6, flops / sec / 1e12, flops / sec / 394e12 * 100), flush=True)
 
+    from puzzlelib_tpu.ops.pallas import matmul as pmm
+
+    for tiles in [(1024, 1024, 1024), (512, 1024, 2048), (1024, 1024, 2048)]:
+        def pg(i, a, b, deltas, tiles=tiles):
+            bp = b.at[:8].add(deltas[i])
+            return pmm.matmul(a, bp, bm=tiles[0], bn=tiles[1], bk=tiles[2])
+
+        try:
+            sec = marginal(pg, (ai, bi, deltas), reps1=2, reps2=8)
+            print("int8 8kx64kx8k pallas %s %8.1f us  %7.2f TOP/s (%5.1f%% of 394)"
+                  % (tiles, sec * 1e6, flops / sec / 1e12,
+                     flops / sec / 394e12 * 100), flush=True)
+        except Exception as exc:
+            print("int8 pallas %s FAILED %s" % (tiles, str(exc)[:160]), flush=True)
+
     ab = (jax.random.normal(kA, (m, k), jnp.float32) * 0.1).astype(jnp.bfloat16)
     bb = (jax.random.normal(kB, (k, n), jnp.float32) * 0.1).astype(jnp.bfloat16)
     deltasB = (jax.random.normal(jax.random.key(4), (48, 8, n), jnp.float32)

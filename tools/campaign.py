@@ -78,7 +78,8 @@ def algoChoice():
 
 def main():
     sections = sys.argv[1:] or ["fg", "convspeed", "fg11", "gemm", "int8",
-                                "algochoice", "attn", "nets", "profiles"]
+                                "algochoice", "attn", "nets", "profiles",
+                                "verify", "bench"]
 
     # probe first: a wedged relay should fail fast, not eat the window
     import numpy as np
@@ -111,6 +112,12 @@ def main():
             runSection("resnet50-many", lambda: capture(
                 ["-m", "puzzlelib_tpu.benchmarks.netspeed", "--net", "resnet50",
                  "--batch", "32", "--dtype", "bfloat16", "--many", "4"]))
+        elif name == "verify":
+            # end-to-end public-API drive ON THE CHIP (the /verify TPU leg):
+            # Trainer loss decrease, Validator, Calculator, checkpoint
+            runSection("verify", lambda: capture(["tools/verify_drive.py"]))
+        elif name == "bench":
+            runSection("bench", lambda: capture(["bench.py"]))
         elif name == "profiles":
             runSection("vgg16-profile", lambda: capture(
                 ["-m", "puzzlelib_tpu.benchmarks.netspeed", "--net", "vgg16",

@@ -4,7 +4,7 @@
 # once every section is marked DONE in tools/campaign_results.txt.
 cd /root/repo
 
-ALL_SECTIONS="fg convspeed fg11 gemm int8 algochoice vgg16-many resnet50-many vgg16-profile resnet50-profile attn"
+ALL_SECTIONS="fg convspeed fg11 gemm int8 algochoice vgg16-many resnet50-many vgg16-profile resnet50-profile attn verify bench"
 
 all_done() {
     [ -f tools/campaign_results.txt ] || return 1

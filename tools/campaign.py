@@ -27,7 +27,10 @@ def log(line):
 def done(section):
     if not os.path.exists(LOG):
         return False
-    return ("=== DONE %s" % section) in open(LOG).read()
+    text = open(LOG).read()
+    # two failures = a real bug, not relay flakiness; stop burning windows
+    return ("=== DONE %s" % section) in text \
+        or text.count("=== FAILED %s" % section) >= 2
 
 
 def runSection(name, fn):

@@ -9,7 +9,11 @@ ALL_SECTIONS="fg convspeed fg11 gemm int8 algochoice vgg16-many resnet50-many vg
 all_done() {
     [ -f tools/campaign_results.txt ] || return 1
     for s in $ALL_SECTIONS; do
-        grep -q "=== DONE $s" tools/campaign_results.txt || return 1
+        if ! grep -q "=== DONE $s" tools/campaign_results.txt; then
+            # settle for a section that failed twice (not relay flakiness)
+            nfail=$(grep -c "=== FAILED $s" tools/campaign_results.txt)
+            [ "$nfail" -ge 2 ] || return 1
+        fi
     done
     return 0
 }

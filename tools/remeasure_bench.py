@@ -79,10 +79,6 @@ def reportFG():
                                     jnp.float32) * 0.01).astype(jnp.bfloat16)
         fence(xn); fence(deltas)
 
-        def perturb(dy, i):
-            # array delta on a slice: cheap (8 rows), defeats linear-CSE
-            return dy.at[:, :8].add(deltas[i])
-
         # correctness cross-check on chip
         ref = opsconv._filterGradDense(
             xn.transpose(0, 3, 1, 2).astype(jnp.float32),
@@ -92,7 +88,11 @@ def reportFG():
         err = float(jnp.abs(got - ref).max()) / float(jnp.abs(ref).max())
 
         def winoFG(i, x, dy, deltas):
-            return winograd.filterGradNHWC(x, perturb(dy, i), (pad, pad))
+            # perturb via the traced parameter (NOT the enclosing concrete
+            # array: a closure capture would embed all 48 deltas as a
+            # constant in the compile payload -> relay HTTP 413)
+            return winograd.filterGradNHWC(x, dy.at[:, :8].add(deltas[i]),
+                                           (pad, pad))
 
         sec = marginal(winoFG, (xn, dyn, deltas), reps1=6, reps2=22)
         print("%-8s winoFG  %8.1f us  %7.2f TF/s-direct (%5.1f%% peak)  rel err %.1e"

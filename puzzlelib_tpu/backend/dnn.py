@@ -153,8 +153,9 @@ def convNdbenchmark(datashape, Wshape, stride, pad, dilation, groups, transpose=
         if _pconv.applicable(datashape, Wshape, stride, pad, dilation, groups):
             _pconv.autotune(datashape, Wshape, pad, dtype=jnp.bfloat16)
 
-        # 3x3 shapes: measure XLA vs the Winograd kernels (fwd + bwd-filter)
-        # and persist the per-shape dispatch choice
+        # race XLA vs every applicable Pallas kernel (fused Winograd, HCWN
+        # batch-in-lanes; fwd / bwd-data / bwd-filter) and persist the
+        # per-shape dispatch choice - unmeasured shapes stay on XLA
         _conv.measureAlgoChoice(datashape, Wshape, stride, pad, dilation, groups)
 
     x = jax.numpy.zeros(datashape, dtype)

@@ -31,6 +31,14 @@ def chainRate(datashape=(128, 32, 64, 64), Wshape=(64, 32, 11, 11), pad=0,
     fence(x); fence(deltas)
 
     nd = 2
+
+    # production dispatch is measurement-gated: run the algo race first so
+    # the chain below times what a trained-and-optimizeForShape'd net runs
+    measured = opsconv.measureAlgoChoice(datashape, Wshape, (1, ) * nd,
+                                         (pad, ) * nd, (1, ) * nd, 1)
+    if measured:
+        print("measured dispatch:", measured)
+
     before = dict(opsconv.dispatchStats)
 
     sec = marginalTime(

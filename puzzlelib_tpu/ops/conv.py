@@ -175,7 +175,15 @@ def pallasEligible(datashape, Wshape, stride, pad, dilation, groups,
                    dtype=jnp.bfloat16):
     """Would ``_tryPallas`` route this signature to the batch-in-lanes kernel
     (before its probe-compile)?  Exposed so benchmark dispatch assertions
-    share the real rule instead of a copy that can rot out of sync."""
+    share the real rule instead of a copy that can rot out of sync.
+
+    The rule is measurement-gated, exactly like the Winograd path: the
+    kernel runs only where ``measureAlgoChoice`` (via
+    ``Module.optimizeForShape``) recorded it faster than XLA for this very
+    signature, or when ``Config.convAlgo = "pallas"`` forces it.  Honest
+    marginals (tools/remeasure_bench.py, 2026-08) put XLA's NHWC conv at
+    93%/50% of peak at the reference ConvSpeed shape fwd/bwd-data versus
+    84%/45% for the HCWN kernel, so an unmeasured shape defaults to XLA."""
     from puzzlelib_tpu import config as Config
 
     algo = getattr(Config, "convAlgo", "auto")
@@ -185,16 +193,11 @@ def pallasEligible(datashape, Wshape, stride, pad, dilation, groups,
     if np.dtype(dtype) != np.dtype(jnp.bfloat16):
         return False
 
-    co = Wshape[0]
-    smallCo = co <= 48 and datashape[0] >= 96
-    # XLA's channels-last conv is excellent once co fills the 128 lanes
-    # (measured 84-86% of peak on 7x7 co=128 OpenPose shapes); the HCWN
-    # kernel's edge is shapes where co leaves lanes idle
-    bigKernel = (len(Wshape) == 4 and Wshape[2] * Wshape[3] >= 81
-                 and co < 128 and datashape[0] >= 96)
-
-    if algo != "pallas" and not (smallCo or bigKernel):
-        return False
+    if algo != "pallas":
+        choice = _algoChoice.get(("fwd", tuple(datashape), tuple(Wshape),
+                                  tuple(pad)))
+        if choice != "pallas":
+            return False
 
     from puzzlelib_tpu.ops.pallas import conv as pconv
     return pconv.applicable(tuple(datashape), tuple(Wshape), tuple(stride),
@@ -202,16 +205,12 @@ def pallasEligible(datashape, Wshape, stride, pad, dilation, groups,
 
 
 def _tryPallas(x, w, stride, pad, dilation, groups):
-    """Batch-in-lanes Pallas kernel for the shapes where it beats XLA:
-
-    - small output-channel stride-1 bf16 convs (bwd-data geometry: XLA's
-      channels-last lowering wastes output lanes there, measured 4.3x), and
-    - large-kernel forwards (>= 9x9: measured 1.6x at the reference
-      ConvSpeed shape, where the kernel sustains ~87% of the bf16 roofline
-      net of the per-call dispatch cost).
-
-    Small-kernel (3x3) forwards stay on XLA, which ties or wins there.
-    Returns None when not applicable."""
+    """Batch-in-lanes (HCWN) Pallas kernel, dispatched only where the
+    measured per-shape comparison recorded it faster than XLA's NHWC conv
+    (``measureAlgoChoice``; ``Config.convAlgo = "pallas"`` forces it).
+    The cuDNN algo family's IMPLICIT_GEMM role
+    (/root/reference/Cuda/Source/Libs/CuDnn.c:1155-1220).
+    Returns None when not applicable/not chosen."""
     if w.dtype != jnp.bfloat16 or not pallasEligible(
             x.shape, w.shape, stride, pad, dilation, groups, x.dtype):
         return None
@@ -245,9 +244,15 @@ def _tryPallas(x, w, stride, pad, dilation, groups):
 
 def measureAlgoChoice(datashape, Wshape, stride, pad, dilation, groups,
                       dtype=jnp.bfloat16, reps=10, k=3):
-    """Time XLA vs the Winograd kernels for this 3x3 signature (fwd and
-    bwd-filter) with equal-harness chains (array-delta perturbations, min
-    of ``k`` fenced calls) and record the winners in ``_algoChoice``.
+    """Time the candidate conv algorithms for this signature with
+    equal-harness chains (array-delta perturbations, min of ``k`` fenced
+    calls) and record the winners in ``_algoChoice``; ties go to XLA.
+    Candidates per direction:
+
+      fwd        XLA NHWC direct | fused Winograd F(2x2,3x3) | batch-in-lanes
+                 HCWN Pallas
+      bwd-data   the same candidates on the rotated-filter forward signature
+      bwd-filter XLA batch-role-swap | transform-domain Winograd dU (3x3)
 
     Called from ``Dnn.convNdbenchmark`` so ``Module.optimizeForShape``
     persists measured dispatch, the cuDNN-algo-search equivalent
@@ -255,6 +260,7 @@ def measureAlgoChoice(datashape, Wshape, stride, pad, dilation, groups,
     import time
     from puzzlelib_tpu.backend.device import ensureInit
     from puzzlelib_tpu.ops.pallas import winograd as pwino
+    from puzzlelib_tpu.ops.pallas import conv as pconv
 
     ensureInit()     # resolve the platform override before touching backends
 
@@ -263,23 +269,15 @@ def measureAlgoChoice(datashape, Wshape, stride, pad, dilation, groups,
 
     stride, pad, dilation = tuple(stride), tuple(pad), tuple(dilation)
 
-    if not pwino.applicable(datashape, Wshape, stride, pad, dilation, groups,
-                            dtype):
+    if len(datashape) != 4:
         return None
 
     n, c, h, wd = datashape
-    co = Wshape[0]
-    oh, ow = h + 2 * pad[0] - 2, wd + 2 * pad[1] - 2
+    co, kh, kw = Wshape[0], Wshape[2], Wshape[3]
+    oh = (h + 2 * pad[0] - dilation[0] * (kh - 1) - 1) // stride[0] + 1
+    ow = (wd + 2 * pad[1] - dilation[1] * (kw - 1) - 1) // stride[1] + 1
 
     key = jax.random.key(0)
-    x = (jax.random.normal(key, (n, h, wd, c), jnp.float32) * 0.3).astype(dtype)
-    w = jnp.zeros(Wshape, dtype)
-    dy = (jax.random.normal(key, (n, oh, ow, co), jnp.float32) * 0.1).astype(dtype)
-    deltas = (jax.random.normal(key, (reps, ) + tuple(Wshape), jnp.float32)
-              * 0.01).astype(dtype)
-    dyRows = min(8, oh)
-    dyDeltas = (jax.random.normal(key, (reps, n, dyRows, ow, co), jnp.float32)
-                * 0.01).astype(dtype)
 
     def minTime(f, args):
         jax.block_until_ready(f(*args))
@@ -303,39 +301,87 @@ def measureAlgoChoice(datashape, Wshape, stride, pad, dilation, groups,
             return acc
         return chained
 
-    def xlaFwd(i, x, w, deltas):
-        out = lax.conv_general_dilated(
-            x, (w + deltas[i]).transpose(2, 3, 1, 0), stride,
-            [(p, p) for p in pad], dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
-        return out.astype(x.dtype)
+    def compareFwd(xN, wsh, pd, tag):
+        """Race every applicable kernel on conv(x ⊛ w, pad=pd), x NHWC;
+        record the winner under this signature's dispatch key."""
+        nn, hh, ww, cc = xN.shape
+        dsh = (nn, cc, hh, ww)
+        wsh, pd = tuple(wsh), tuple(pd)
+        wz = jnp.zeros(wsh, dtype)
+        dl = (jax.random.normal(key, (reps, ) + wsh, jnp.float32)
+              * 0.01).astype(dtype)
 
-    def winoFwd(i, x, w, deltas):
-        return pwino.conv2dNHWC(x, w + deltas[i], pad)
+        def xlaF(i, x, w, d):
+            out = lax.conv_general_dilated(
+                x, (w + d[i]).transpose(2, 3, 1, 0), stride,
+                [(p, p) for p in pd],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+            return out.astype(x.dtype)
 
-    def xlaFG(i, x, dy, dyDeltas):
-        dyp = dy.at[:, :dyRows].add(dyDeltas[i])
-        xb = jnp.transpose(x, (0, 3, 1, 2))
-        dyb = jnp.transpose(dyp, (0, 3, 1, 2))
-        return _filterGradDenseNhwc(xb, dyb, (3, 3), stride, pad, dilation)
+        entries = [("xla", xlaF, (xN, wz, dl))]
 
-    def winoFG(i, x, dy, dyDeltas):
-        return pwino.filterGradNHWC(x, dy.at[:, :dyRows].add(dyDeltas[i]), pad)
+        if pwino.applicable(dsh, wsh, stride, pd, dilation, groups, dtype):
+            entries.append((
+                "winograd",
+                lambda i, x, w, d: pwino.conv2dNHWC(x, w + d[i], pd),
+                (xN, wz, dl)))
+
+        if pconv.applicable(dsh, wsh, stride, pd, dilation, groups, dtype) \
+                and pconv.probeCompile(dsh, wsh, pd, dtype):
+            xC = jnp.transpose(xN, (0, 3, 1, 2))
+            entries.append((
+                "pallas",
+                lambda i, x, w, d: pconv.conv2d(x, w + d[i], pd),
+                (xC, wz, dl)))
+
+        if len(entries) == 1:
+            return None
+
+        times = {}
+        for name, fn, args in entries:
+            try:
+                times[name] = minTime(chain(fn), args)
+            except Exception:
+                logger.warning("%s %s comparison failed for %s; dropping "
+                               "the candidate", tag, name, (dsh, wsh))
+
+        tx = times.get("xla")
+        if tx is None or len(times) == 1:
+            return None
+
+        best = min(times, key=times.get)
+        choice = best if times[best] < tx * 0.97 else "xla"   # ties go to XLA
+        _algoChoice[("fwd", dsh, wsh, pd)] = choice
+        return (choice, ) + tuple(sorted(
+            (nm, t / reps) for nm, t in times.items()))
 
     results = {}
 
-    try:
-        tx = minTime(chain(xlaFwd), (x, w, deltas))
-        tw = minTime(chain(winoFwd), (x, w, deltas))
-        choice = "winograd" if tw < tx * 0.97 else "xla"   # ties go to XLA
-        _algoChoice[("fwd", tuple(datashape), tuple(Wshape), pad)] = choice
-        results["fwd"] = (choice, tx / reps, tw / reps)
-    except Exception:
-        logger.warning("winograd fwd comparison failed for %s; keeping XLA",
-                       (datashape, Wshape))
+    x = (jax.random.normal(key, (n, h, wd, c), jnp.float32) * 0.3).astype(dtype)
+    r = compareFwd(x, Wshape, pad, "fwd")
+    if r is not None:
+        results["fwd"] = r
+
+    dy = (jax.random.normal(key, (n, oh, ow, co), jnp.float32) * 0.1).astype(dtype)
+    dyRows = min(8, oh)
 
     if pwino.filterGradApplicable(datashape, (n, co, oh, ow), stride, pad,
-                                  dilation, groups, dtype):
+                                  dilation, groups, dtype) \
+            and pwino.probeCompileFG(datashape, (n, co, oh, ow), pad, dtype):
+        dyDeltas = (jax.random.normal(key, (reps, n, dyRows, ow, co),
+                                      jnp.float32) * 0.01).astype(dtype)
+
+        def xlaFG(i, x, dy, dyDeltas):
+            dyp = dy.at[:, :dyRows].add(dyDeltas[i])
+            xb = jnp.transpose(x, (0, 3, 1, 2))
+            dyb = jnp.transpose(dyp, (0, 3, 1, 2))
+            return _filterGradDenseNhwc(xb, dyb, (3, 3), stride, pad, dilation)
+
+        def winoFG(i, x, dy, dyDeltas):
+            return pwino.filterGradNHWC(x, dy.at[:, :dyRows].add(dyDeltas[i]),
+                                        pad)
+
         try:
             tx = minTime(chain(xlaFG), (x, dy, dyDeltas))
             tw = minTime(chain(winoFG), (x, dy, dyDeltas))
@@ -347,37 +393,13 @@ def measureAlgoChoice(datashape, Wshape, stride, pad, dilation, groups,
                            "keeping XLA", (datashape, Wshape))
 
     # bwd-data reaches _convCore as a rotated-filter conv with its OWN fwd
-    # signature (dY ⊛ W^T_rot at pad 2-p) - measure and record that key too
-    bwdShape = (n, co, oh, ow)
-    bwdW = (c, co, 3, 3)
-    bwdPad = (2 - pad[0], 2 - pad[1])
+    # signature (dY ⊛ W^T_rot at pad k-1-p) - measure and record that key too
+    bwdPad = (dilation[0] * (kh - 1) - pad[0], dilation[1] * (kw - 1) - pad[1])
 
-    if min(bwdPad) >= 0 and pwino.applicable(bwdShape, bwdW, stride, bwdPad,
-                                             dilation, groups, dtype):
-        wDeltasT = (jax.random.normal(key, (reps, ) + bwdW, jnp.float32)
-                    * 0.01).astype(dtype)
-        wT = jnp.zeros(bwdW, dtype)
-
-        def xlaBwd(i, dy, wT, wDeltasT):
-            out = lax.conv_general_dilated(
-                dy, (wT + wDeltasT[i]).transpose(2, 3, 1, 0), stride,
-                [(p, p) for p in bwdPad],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32)
-            return out.astype(dy.dtype)
-
-        def winoBwd(i, dy, wT, wDeltasT):
-            return pwino.conv2dNHWC(dy, wT + wDeltasT[i], bwdPad)
-
-        try:
-            tx = minTime(chain(xlaBwd), (dy, wT, wDeltasT))
-            tw = minTime(chain(winoBwd), (dy, wT, wDeltasT))
-            choice = "winograd" if tw < tx * 0.97 else "xla"
-            _algoChoice[("fwd", bwdShape, bwdW, bwdPad)] = choice
-            results["bwdData"] = (choice, tx / reps, tw / reps)
-        except Exception:
-            logger.warning("winograd bwd-data comparison failed for %s; "
-                           "keeping XLA", (datashape, Wshape))
+    if stride == (1, 1) and min(bwdPad) >= 0:
+        r = compareFwd(dy, (c, co, kh, kw), bwdPad, "bwdData")
+        if r is not None:
+            results["bwdData"] = r
 
     # dispatch reads _algoChoice at trace time: any jit that already traced
     # this signature would keep its pre-measurement choice forever (same

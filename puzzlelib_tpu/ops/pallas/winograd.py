@@ -87,10 +87,14 @@ def _kernel(xRef, uRef, outRef, buf, t1, m, sems, *,
 
     def fetch(slot, nI, blkI, ccI):
         # phase (pa, pb): row slab pa, column parity pb as a 128-aligned
-        # lane offset into the (rows, 2C) slab
+        # lane offset into the (rows, 2C) slab.  With one height block the
+        # row offset is the literal 0: Mosaic's alignment prover does not
+        # const-fold blkI even over a 1-sized grid dimension, and mb is only
+        # guaranteed 8-divisible when nBlocks > 1 (_pickBlock).
+        rowOff = (blkI * bi * twp) if nBlocks > 1 else 0
         return [
             pltpu.make_async_copy(
-                xRef.at[pa, nI, pl.ds(blkI * bi * twp, rows),
+                xRef.at[pa, nI, pl.ds(rowOff, rows),
                         pl.ds(pb * c + ccI * cb, cb)],
                 buf.at[slot, pa * 2 + pb],
                 sems.at[slot, pa * 2 + pb],
@@ -496,16 +500,20 @@ def _fgKernel(xRef, yRef, outRef, xBuf, yBuf, t1, acc, xSems, ySems, *,
     rowsY = -(-mb // 8) * 8
 
     def fetch(slot, cocI, nII, blkI):
+        # static 0 row offset when there is a single height block: mb is only
+        # guaranteed 8-divisible for nBlocks > 1 (_pickBlockFG), and Mosaic
+        # does not const-fold blkI over a 1-sized grid dimension
+        rowOff = (blkI * mb) if nBlocks > 1 else 0
         xs = [
             pltpu.make_async_copy(
-                xRef.at[pa, nII, pl.ds(blkI * mb, rowsX),
+                xRef.at[pa, nII, pl.ds(rowOff, rowsX),
                         pl.ds(pb * c, c)],
                 xBuf.at[slot, pa * 2 + pb], xSems.at[slot, pa * 2 + pb])
             for pa in range(2) for pb in range(2)
         ]
         ys = [
             pltpu.make_async_copy(
-                yRef.at[pa, nII, pl.ds(blkI * mb, rowsY),
+                yRef.at[pa, nII, pl.ds(rowOff, rowsY),
                         pl.ds(pb * co + cocI * cob, cob)],
                 yBuf.at[slot, pa * 2 + pb], ySems.at[slot, pa * 2 + pb])
             for pa in range(2) for pb in range(2)

@@ -92,19 +92,34 @@ def _profileLeaf(mod, inArr, gradArr, reps, iters):
             return x.at[:, :rows].add(deltas[i])
         return x.at[:rows].add(deltas[i])
 
-    def fwd(i, x, g, d):
+    # the module's params/attrs ride as TRACED chain operands, rebound into
+    # the root buffers at trace time: a closure capture would embed every
+    # weight tensor as an MLIR constant in the compile payload (the relay
+    # rejects conv/Linear layer chains with HTTP 413)
+    from puzzlelib_tpu.fused import collectStateBuffers
+    roots = collectStateBuffers(mod)
+    snapshot = [r.jax for r in roots]
+
+    def bindState(state):
+        for root, s in zip(roots, state):
+            root._write(s)
+
+    def fwd(i, x, g, d, *state):
+        bindState(state)
         out = mod(GPUArray(perturb(x, i)))
         mod.reset()
         return out.jax
 
-    def fwdBwd(i, x, g, d):
+    def fwdBwd(i, x, g, d, *state):
+        bindState(state)
         mod(GPUArray(perturb(x, i)))
         mod.updateGrad(GPUArray(g))
         grad = mod.grad
         mod.reset()
         return grad.jax
 
-    def fwdBwdParams(i, x, g, d):
+    def fwdBwdParams(i, x, g, d, *state):
+        bindState(state)
         mod(GPUArray(perturb(x, i)))
         gw = GPUArray(g)
         mod.updateGrad(gw)
@@ -125,16 +140,12 @@ def _profileLeaf(mod, inArr, gradArr, reps, iters):
     # the chains write tracers through module/grad buffers at trace time;
     # restore the concrete roots after every trace or the next trace reads
     # a leaked tracer (accGradParams ACCUMULATES into var.grad)
-    from puzzlelib_tpu.fused import collectStateBuffers
-    roots = collectStateBuffers(mod)
-    snapshot = [r.jax for r in roots]
-
     def restore():
         for root, saved in zip(roots, snapshot):
             root._write(saved)
         mod.reset()
 
-    ops = (inArr, gradArr, deltas)
+    ops = (inArr, gradArr, deltas) + tuple(snapshot)
     k = max(2, iters + 1)
     tF = marginalTime(fwd, ops, reps1=reps, reps2=reps2, k=k, restore=restore)
     tFB = marginalTime(fwdBwd, ops, reps1=reps, reps2=reps2, k=k, restore=restore)

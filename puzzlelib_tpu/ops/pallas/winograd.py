@@ -644,12 +644,17 @@ def _vmemBytesFG(bi, twp, c, cob, itemsize):
             + 2 * 16 * c * cob * 4)                      # f32 acc + out block
 
 
-def _pickBlockFG(th, twp, c, cob, itemsize, vmemBudget=13 * 2 ** 20):
+def _pickBlockFG(th, twp, c, cob, itemsize, vmemBudget=13 * 2 ** 20,
+                 aligned=True):
     """Largest tile-row block: K (= MB) wants >= ~256 for the tile dots."""
     best, bestBi = None, None
 
     for bi in range(min(th, 24), 0, -1):
-        if bi < th and (bi * twp) % 8 != 0:
+        # MB must stay sublane-aligned even for a single height block:
+        # Mosaic rejects the slab DMAs whenever bi*twp % 8 != 0 (measured on
+        # v5e: (32,512,28,28) with bi=14/mb=210 fails, bi=8/mb=120 compiles).
+        # Interpret mode has no such constraint (aligned=False).
+        if aligned and (bi * twp) % 8 != 0:
             continue
 
         if _vmemBytesFG(bi, twp, c, cob, itemsize) > vmemBudget:
@@ -664,14 +669,14 @@ def _pickBlockFG(th, twp, c, cob, itemsize, vmemBudget=13 * 2 ** 20):
     return bestBi
 
 
-def _pickFG(th, twp, c, co, itemsize):
+def _pickFG(th, twp, c, co, itemsize, aligned=True):
     """(bi, cob) under the VMEM budget: full-CO accumulators when they fit,
     CO-chunked otherwise (the f32 dU accumulator is the big tenant)."""
     for cob in (256, 128):
         if co % cob != 0:
             continue
 
-        bi = _pickBlockFG(th, twp, c, cob, itemsize)
+        bi = _pickBlockFG(th, twp, c, cob, itemsize, aligned=aligned)
         if bi is not None:
             return bi, cob
 
@@ -713,7 +718,7 @@ def filterGradNHWC(x, dy, pad=(0, 0), bi=None, interpret=False):
     twp = tw + 1
     itemsize = np.dtype(x.dtype).itemsize
 
-    picked = _pickFG(th, twp, c, co, itemsize)
+    picked = _pickFG(th, twp, c, co, itemsize, aligned=not interpret)
     if picked is None:
         raise ValueError("no VMEM-feasible block for %s filterGrad %s"
                          % (x.shape, dy.shape))
@@ -721,6 +726,10 @@ def filterGradNHWC(x, dy, pad=(0, 0), bi=None, interpret=False):
 
     if bi is None:
         bi = picked[0]
+
+    if not interpret and (bi * twp) % 8 != 0:
+        raise ValueError("filterGrad block bi=%d gives MB=%d %% 8 != 0 "
+                         "(Mosaic rejects unaligned slab DMAs)" % (bi, bi * twp))
 
     nBlocks = -(-th // bi)
     mb = bi * twp

@@ -296,3 +296,23 @@ def testWinogradApplicable():
     assert not applicable((32, 256, 56, 56), (256, 256, 3, 3), (2, 2), (1, 1), (1, 1), 1)
     assert not applicable((32, 64, 56, 56), (64, 64, 3, 3), (1, 1), (1, 1), (1, 1), 1)  # c % 128
     assert not applicable((32, 256, 56, 56), (256, 256, 5, 5), (2, 2), (1, 1), (1, 1), 1)
+
+
+def testWinogradFGBlockAlignment():
+    """Production FG blocks must keep MB = bi*twp sublane-aligned: Mosaic
+    rejects the slab DMAs otherwise (v5e: (32,512,28,28) bi=14/mb=210 fails
+    to compile, bi=8/mb=120 compiles)."""
+    from puzzlelib_tpu.ops.pallas.winograd import _pickFG, _pickBlockFG
+
+    # r50-28: th=14, twp=15 — the only aligned blocks are multiples of 8
+    assert _pickFG(14, 15, 512, 512, 2) == (8, 128)
+
+    for (th, twp, c, co) in [(14, 15, 512, 512), (28, 29, 256, 256),
+                             (56, 57, 128, 128)]:
+        picked = _pickFG(th, twp, c, co, 2)
+        assert picked is not None and (picked[0] * twp) % 8 == 0
+
+    # interpret mode (aligned=False) may use unaligned blocks so the small
+    # CPU oracle shapes (twp=5: no aligned bi exists) stay testable
+    assert _pickBlockFG(4, 5, 128, 128, 4, aligned=False) is not None
+    assert _pickBlockFG(4, 5, 128, 128, 4, aligned=True) is None

@@ -87,10 +87,14 @@ def _profileLeaf(mod, inArr, gradArr, reps, iters):
     deltas = deltaBank((rows, ) + inArr.shape[2:] if inArr.ndim > 1 else (rows, ),
                        inArr.dtype, reps2)
 
-    def perturb(x, i):
+    def perturb(x, i, d):
+        # index the TRACED bank operand, never the concrete closure: a
+        # closed-over `deltas` rides as an MLIR constant (~MBs for 224x224
+        # layers) and the relay rejects the payload with HTTP 413
+        # (tools/remeasure_bench.py documents the same pitfall)
         if x.ndim > 1:
-            return x.at[:, :rows].add(deltas[i])
-        return x.at[:rows].add(deltas[i])
+            return x.at[:, :rows].add(d[i])
+        return x.at[:rows].add(d[i])
 
     # the module's params/attrs ride as TRACED chain operands, rebound into
     # the root buffers at trace time: a closure capture would embed every
@@ -106,30 +110,34 @@ def _profileLeaf(mod, inArr, gradArr, reps, iters):
 
     def fwd(i, x, g, d, *state):
         bindState(state)
-        out = mod(GPUArray(perturb(x, i)))
+        out = mod(GPUArray(perturb(x, i, d)))
         mod.reset()
         return out.jax
 
     def fwdBwd(i, x, g, d, *state):
         bindState(state)
-        mod(GPUArray(perturb(x, i)))
+        out = mod(GPUArray(perturb(x, i, d)))
         mod.updateGrad(GPUArray(g))
         grad = mod.grad
         mod.reset()
-        return grad.jax
+
+        # consume the FORWARD output too: many layers' updateGrad doesn't
+        # read it (conv bwd-data needs only grad+W), and an unconsumed
+        # forward is dead code XLA deletes - the chain would time bwd alone
+        return jnp.max(grad.jax.astype(jnp.float32)) + jnp.max(out.jax.astype(jnp.float32))
 
     def fwdBwdParams(i, x, g, d, *state):
         bindState(state)
-        mod(GPUArray(perturb(x, i)))
+        out = mod(GPUArray(perturb(x, i, d)))
         gw = GPUArray(g)
         mod.updateGrad(gw)
         mod.accGradParams(gw)
         grad = mod.grad
 
-        # fold every param grad into the consumed scalar: a result-unused
-        # accGradParams is dead code XLA silently deletes, and the bwdP
-        # column would time nothing
-        s = jnp.max(grad.jax.astype(jnp.float32))
+        # fold the forward output and every param grad into the consumed
+        # scalar: any result-unused pass is dead code XLA silently deletes,
+        # and its column would time nothing
+        s = jnp.max(grad.jax.astype(jnp.float32)) + jnp.max(out.jax.astype(jnp.float32))
         for var in mod.vars.values():
             if var.grad is not None:
                 s = s + jnp.max(var.grad.jax.astype(jnp.float32))
@@ -185,10 +193,10 @@ def profileNet(net, data, stepSecs=None, reps=8, iters=2, out=print):
             x = jnp.asarray(np.random.randn(*inData.shape) * 0.1, inData.jax.dtype)
             g = jnp.asarray(np.random.randn(*outData.shape) * 0.1, outData.jax.dtype)
 
-            # the chains run accGradParams/BN-stat updates at trace time, which
-            # writes tracers through grad views into their (possibly shared)
-            # root buffers - snapshot the concrete roots and restore after, or
-            # every later layer sharing a root hits a leaked tracer
+            # _profileLeaf restores roots itself between chains; this outer
+            # snapshot/restore is deliberate belt-and-braces for the exception
+            # path (a chain that raises mid-trace leaves tracers in the roots
+            # before marginalTime's restore callback ever runs)
             from puzzlelib_tpu.fused import collectStateBuffers
             roots = collectStateBuffers(mod)
             snapshot = [r.jax for r in roots]

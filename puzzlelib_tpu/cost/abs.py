@@ -1,30 +1,28 @@
-"""L1 cost (reference: /root/reference/Cost/Abs.py)."""
+"""Mean absolute error (L1) regression cost.
+
+Parity surface: /root/reference/Cost/Abs.py — error normalized per-sample,
+gradient by the full element count, validation by the full count. The whole
+thing is one fused XLA program (``ops.cost.abscost``) instead of the
+reference's separate subtract/L1-norm/grad kernels.
+"""
 
 import numpy as np
 
-from puzzlelib_tpu.backend import gpuarray, blas as Blas
-from puzzlelib_tpu.backend.gpuarray import memoryPool as memPool
-from puzzlelib_tpu.backend.kernels.elementwise import l1gradKer
+from puzzlelib_tpu.ops import cost as costOps
+from puzzlelib_tpu.tensor import GPUArray
 
 from puzzlelib_tpu.cost.cost import Cost
 
 
 class Abs(Cost):
     def calcGrad(self, pred, target):
-        grad = gpuarray.empty(pred.shape, dtype=np.float32, allocator=memPool)
-        norm = 1.0 / np.prod(target.shape)
-
-        l1gradKer(grad, pred, target, norm)
-        return grad
-
-    def calcError(self, pred, target):
-        diff = Blas.addVectorToVector(pred.ravel(), target.ravel(), alpha=1.0, beta=-1.0)
-        self.devErr._write(Blas.vectorL1Norm(diff).jax / np.prod(pred.shape[1:]))
-        self.accumErr += self.devErr
+        err, grad = costOps.abscost(pred.jax, target.jax)
+        self.devErr._write(err)
+        return GPUArray(grad)
 
     def calcVal(self, pred, target):
-        diff = Blas.addVectorToVector(pred.ravel(), target.ravel(), alpha=1.0, beta=-1.0)
-        return Blas.vectorL1Norm(diff).get() / np.prod(target.shape)
+        err, _ = costOps.abscost(pred.jax, target.jax)
+        return float(np.asarray(err)) / pred.shape[0]
 
     def checkDataShape(self, pred, target):
         assert pred.shape[1:] == target.shape[1:]

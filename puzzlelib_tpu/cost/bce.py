@@ -1,57 +1,53 @@
-"""Binary cross-entropy cost (reference: /root/reference/Cost/BCE.py)."""
+"""Binary cross-entropy over raw logits with {0, 1} integer targets.
+
+Parity surface: /root/reference/Cost/BCE.py (logit convention — sigmoid is
+fused into the cost, validation thresholds at 0). ``ops.cost.bce`` computes
+error + gradient in one XLA program; validation is a fused mispredict count.
+"""
 
 import numpy as np
 
 from puzzlelib_tpu import config as Config
-from puzzlelib_tpu.backend import gpuarray
-from puzzlelib_tpu.backend.gpuarray import memoryPool as memPool
-from puzzlelib_tpu.backend.kernels.costs import getAccuracyKernel, bceKer
+from puzzlelib_tpu.ops import cost as costOps
+from puzzlelib_tpu.tensor import GPUArray
 
-from puzzlelib_tpu.cost.cost import CostError, Cost
+from puzzlelib_tpu.cost.cost import Cost, requireLabelRange
 
 
 class BCE(Cost):
+    def verifyLabels(self, labels):
+        requireLabelRange("BCE", labels, 0, 1)
+
     def calcGrad(self, scores, labels):
         if Config.verifyData:
             self.verifyLabels(labels)
 
-        grad = gpuarray.empty(scores.shape, dtype=np.float32, allocator=memPool)
-        self.devErr.fill(0.0)
-
-        bceKer(scores, labels, self.devErr, grad, scores.shape[0], np.prod(scores.shape[1:]))
-        return grad
-
-    def calcError(self, scores, labels):
-        self.accumErr += self.devErr
+        err, grad = costOps.bce(scores.jax, labels.jax)
+        self.devErr._write(err)
+        return GPUArray(grad)
 
     def calcVal(self, scores, labels):
         if Config.verifyData:
             self.verifyLabels(labels)
 
-        calcBCEAccuracy = getAccuracyKernel("calcBCEAccuracy")
-        return calcBCEAccuracy(scores, labels, allocator=memPool).get() / np.prod(scores.shape)
+        import jax.numpy as jnp
+
+        # logit sign is the decision boundary: count disagreements with labels
+        x, y = scores.jax.ravel(), labels.jax.ravel()
+        wrong = jnp.sum(jnp.where(y == 1, x <= 0.0, x > 0.0))
+        return float(np.asarray(wrong)) / scores.size
 
     def checkDataShape(self, scores, labels):
-        self.checkShapeCompatibility(scores, labels)
+        self._shapeContract(scores, labels)
 
     def checkValDataShape(self, scores, labels):
-        self.checkShapeCompatibility(scores, labels)
+        self._shapeContract(scores, labels)
 
     @staticmethod
-    def checkShapeCompatibility(scores, labels):
+    def _shapeContract(scores, labels):
         assert labels.dtype == np.int32
 
         if scores.ndim == 2 and scores.shape[1] == 1:
             assert labels.ndim == 1
         else:
             assert np.prod(scores.shape[1:]) == np.prod(labels.shape[1:])
-
-    @staticmethod
-    def verifyLabels(labels):
-        mn, mx = gpuarray.minimum(labels).get(), gpuarray.maximum(labels).get()
-
-        if mn < 0:
-            raise CostError("BCE labels verification failed, found index %s (< 0)" % mn)
-
-        if mx > 1:
-            raise CostError("BCE labels verification failed, found index %s (> 1)" % mx)

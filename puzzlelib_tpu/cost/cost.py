@@ -16,6 +16,30 @@ class CostError(Exception):
     pass
 
 
+def labelBounds(labels):
+    """(min, max) of an int label tensor in ONE fused device→host readback.
+
+    The reference reads min and max separately (two syncs,
+    /root/reference/Cost/CrossEntropy.py:87); through the TPU relay each sync
+    costs ~10 ms, so the pair is stacked device-side and read back together.
+    """
+    import jax.numpy as jnp
+
+    lo, hi = np.asarray(jnp.stack([jnp.min(labels.jax), jnp.max(labels.jax)]))
+    return int(lo), int(hi)
+
+
+def requireLabelRange(tag, labels, low, high):
+    """Raise CostError unless every label lies in [low, high]."""
+    lo, hi = labelBounds(labels)
+
+    if lo < low:
+        raise CostError("%s labels verification failed, found index %s (< %s)" % (tag, lo, low))
+
+    if hi > high:
+        raise CostError("%s labels verification failed, found index %s (> %s)" % (tag, hi, high))
+
+
 def _deviceScalar():
     return gpuarray.empty((), dtype=np.float32)
 
@@ -107,7 +131,10 @@ class Cost:
         raise NotImplementedError()
 
     def calcError(self, pred, target):
-        raise NotImplementedError()
+        # default: calcGrad computed the batch error fused with the gradient
+        # and left it in devErr; fold it into the running sum. Costs whose
+        # error needs a separate computation (e.g. MSE) override this.
+        self.accumErr += self.devErr
 
     def calcVal(self, pred, target):
         raise NotImplementedError()

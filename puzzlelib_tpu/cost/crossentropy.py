@@ -1,14 +1,20 @@
-"""Fused softmax + cross-entropy cost (reference: /root/reference/Cost/CrossEntropy.py)."""
+"""Softmax cross-entropy classification cost.
+
+Parity surface: /root/reference/Cost/CrossEntropy.py (ctor arguments, the
+``validate``/``mostProb`` protocol, optional per-class weights). The compute is
+the single fused XLA program in ``ops.cost.crossEntropy`` — error scalar and
+descent-direction gradient come out of one dispatch, and validation fuses the
+channel argmax with the mismatch count so the whole thing is one readback.
+"""
 
 import numpy as np
 
 from puzzlelib_tpu import config as Config
 from puzzlelib_tpu.backend import gpuarray
-from puzzlelib_tpu.backend.gpuarray import memoryPool as memPool
-from puzzlelib_tpu.backend.kernels.costs import getAccuracyKernel, crossEntropyKernel
-from puzzlelib_tpu.backend.kernels.matvec import argmax, argmaxBatch
+from puzzlelib_tpu.ops import cost as costOps
+from puzzlelib_tpu.tensor import GPUArray
 
-from puzzlelib_tpu.cost.cost import CostError, Cost
+from puzzlelib_tpu.cost.cost import Cost, requireLabelRange
 
 
 class CrossEntropy(Cost):
@@ -17,71 +23,51 @@ class CrossEntropy(Cost):
 
         self.maxlabels = maxlabels
         self.mostProb = None
-
-        if isinstance(weights, np.ndarray):
-            weights = gpuarray.to_gpu(weights)
-
-        self.weights = weights
-
-    def calcGrad(self, scores, labels):
-        if Config.verifyData:
-            self.verifyLabels(scores, labels)
-
-        self.devErr, grad = crossEntropyKernel(scores, labels, weights=self.weights, error=self.devErr)
-        return grad
-
-    def calcError(self, scores, labels):
-        self.accumErr += self.devErr
-
-    def calcVal(self, scores, labels):
-        if Config.verifyData:
-            self.verifyLabels(scores, labels)
-
-        if scores.ndim == 2:
-            self.mostProb = argmax(scores, axis=1)
-        else:
-            scores = scores.reshape(*scores.shape[:2], int(np.prod(scores.shape[2:])))
-            self.mostProb = argmaxBatch(scores, axis=1).reshape(labels.shape)
-
-        calcAccuracy = getAccuracyKernel("calcAccuracy")
-        error = calcAccuracy(self.mostProb, labels, allocator=memPool).get() / np.prod(labels.shape)
-
-        return error
+        self.weights = gpuarray.to_gpu(weights) if isinstance(weights, np.ndarray) else weights
 
     def reset(self):
         super().reset()
         self.mostProb = None
 
+    def verifyLabels(self, scores, labels):
+        requireLabelRange("Cross entropy", labels, 0, scores.shape[1] - 1)
+
+    def calcGrad(self, scores, labels):
+        if Config.verifyData:
+            self.verifyLabels(scores, labels)
+
+        w = self.weights
+        err, grad = costOps.crossEntropy(scores.jax, labels.jax,
+                                         None if w is None else w.jax, hasWeights=w is not None)
+        self.devErr._write(err)
+        return GPUArray(grad)
+
+    def calcVal(self, scores, labels):
+        if Config.verifyData:
+            self.verifyLabels(scores, labels)
+
+        import jax.numpy as jnp
+
+        # argmax over the class axis lines the prediction tensor up with the
+        # label tensor for any number of trailing spatial dims
+        pred = jnp.argmax(scores.jax, axis=1).astype(jnp.int32)
+        self.mostProb = GPUArray(pred)
+
+        wrong = costOps.accuracy(pred, labels.jax)
+        return float(np.asarray(wrong)) / labels.size
+
     def checkDataShape(self, scores, labels):
-        assert scores.ndim > 1 and labels.ndim == scores.ndim - 1
-        assert labels.dtype == np.int32
-
-        if scores.ndim > 2:
-            assert scores.shape[2:] == labels.shape[1:]
-
-        if self.maxlabels:
-            assert scores.shape[1] == self.maxlabels
+        self._shapeContract(scores, labels)
 
         if self.weights is not None:
-            assert self.weights.shape[0] == scores.shape[1]
+            assert self.weights.shape == (scores.shape[1], )
 
     def checkValDataShape(self, scores, labels):
-        assert scores.ndim > 1 and labels.ndim == scores.ndim - 1
-        assert labels.dtype == np.int32
+        self._shapeContract(scores, labels)
 
-        if scores.ndim > 2:
-            assert scores.shape[2:] == labels.shape[1:]
+    def _shapeContract(self, scores, labels):
+        assert labels.dtype == np.int32
+        assert scores.ndim == labels.ndim + 1 and scores.shape[2:] == labels.shape[1:]
 
         if self.maxlabels:
             assert scores.shape[1] == self.maxlabels
-
-    @staticmethod
-    def verifyLabels(scores, labels):
-        mn, mx = gpuarray.minimum(labels).get(), gpuarray.maximum(labels).get()
-
-        if mn < 0:
-            raise CostError("Cross entropy labels verification failed, found index %s (< 0)" % mn)
-
-        if mx >= scores.shape[1]:
-            raise CostError("Cross entropy labels verification failed, found index %s (> %s)" %
-                            (mx, scores.shape[1] - 1))

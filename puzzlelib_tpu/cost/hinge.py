@@ -1,53 +1,45 @@
-"""Hinge cost (reference: /root/reference/Cost/Hinge.py)."""
+"""Elementwise hinge cost over ±1 targets.
+
+Parity surface: /root/reference/Cost/Hinge.py (shapes, normalization, the
+±1 label contract). One fused XLA program (``ops.cost.hinge``) yields the
+error scalar and the descent gradient together.
+"""
 
 import numpy as np
 
 from puzzlelib_tpu import config as Config
-from puzzlelib_tpu.backend import gpuarray
-from puzzlelib_tpu.backend.gpuarray import memoryPool as memPool
-from puzzlelib_tpu.backend.kernels.costs import hingeKer
+from puzzlelib_tpu.ops import cost as costOps
+from puzzlelib_tpu.tensor import GPUArray
 
-from puzzlelib_tpu.cost.cost import CostError, Cost
+from puzzlelib_tpu.cost.cost import Cost, requireLabelRange
 
 
 class Hinge(Cost):
+    def verifyLabels(self, labels):
+        requireLabelRange("Hinge", labels, -1, 1)
+
     def calcGrad(self, scores, labels):
         if Config.verifyData:
             self.verifyLabels(labels)
 
-        grad = gpuarray.empty(scores.shape, dtype=np.float32, allocator=memPool)
-        self.devErr.fill(0.0)
-
-        hingeKer(scores, labels, self.devErr, grad, scores.shape[0], scores.shape[1])
-        return grad
-
-    def calcError(self, scores, labels):
-        self.accumErr += self.devErr
+        err, grad = costOps.hinge(scores.jax, labels.jax)
+        self.devErr._write(err)
+        return GPUArray(grad)
 
     def calcVal(self, scores, labels):
         if Config.verifyData:
             self.verifyLabels(labels)
 
-        diff = gpuarray.empty(scores.shape, dtype=np.float32, allocator=memPool)
-        devErr = gpuarray.zeros((), dtype=np.float32, allocator=memPool)
-
-        hingeKer(scores, labels, devErr, diff, scores.shape[0], scores.shape[1])
-        return devErr.get() / scores.shape[0]
+        err, _ = costOps.hinge(scores.jax, labels.jax)
+        return float(np.asarray(err)) / scores.shape[0]
 
     def checkDataShape(self, scores, labels):
-        assert scores.ndim == 2 and scores.shape == labels.shape
-        assert labels.dtype == np.int32
+        self._shapeContract(scores, labels)
 
     def checkValDataShape(self, scores, labels):
-        assert scores.ndim == 2 and scores.shape == labels.shape
-        assert labels.dtype == np.int32
+        self._shapeContract(scores, labels)
 
     @staticmethod
-    def verifyLabels(labels):
-        mn, mx = gpuarray.minimum(labels).get(), gpuarray.maximum(labels).get()
-
-        if mn < -1:
-            raise CostError("Hinge labels verification failed, found index %s (< -1)" % mn)
-
-        if mx > 1:
-            raise CostError("Hinge labels verification failed, found index %s (> 1)" % mx)
+    def _shapeContract(scores, labels):
+        assert scores.ndim == 2 and scores.shape == labels.shape
+        assert labels.dtype == np.int32

@@ -1,11 +1,15 @@
-"""KL divergence cost (reference: /root/reference/Cost/KLDivergence.py)."""
+"""KL divergence cost between a softmaxed prediction and a target distribution.
+
+Parity surface: /root/reference/Cost/KLDivergence.py — softmax runs over all
+non-batch dims flattened, ``normTarget`` softmaxes the target too, the stored
+batch error is the unnormalized divergence sum. ``ops.cost.kldiv`` fuses
+softmax, divergence and gradient into one XLA program.
+"""
 
 import numpy as np
 
-from puzzlelib_tpu.backend import gpuarray
-from puzzlelib_tpu.backend.gpuarray import memoryPool as memPool
-from puzzlelib_tpu.backend.kernels.costs import getAccuracyKernel
-from puzzlelib_tpu.backend.dnn import softmaxNd
+from puzzlelib_tpu.ops import cost as costOps
+from puzzlelib_tpu.tensor import GPUArray
 
 from puzzlelib_tpu.cost.cost import Cost
 
@@ -17,41 +21,27 @@ class KLDivergence(Cost):
         self.maxlabels = maxlabels
         self.normTarget = normTarget
 
-    def _softmaxed(self, pred, target):
-        shape = pred.shape
-        softmax = softmaxNd(pred.reshape(shape[0], int(np.prod(shape[1:])), 1, 1))
+    def _divergence(self, pred, target):
+        """Fused (mean divergence, grad) with non-batch dims flattened, so the
+        softmax spans the whole sample regardless of trailing spatial dims."""
+        batch = pred.shape[0]
+        flat = (batch, int(np.prod(pred.shape[1:])))
 
-        if self.normTarget:
-            tshape = target.shape
-            target = softmaxNd(target.reshape(tshape[0], int(np.prod(tshape[1:])), 1, 1))
-
-        return softmax, target
+        err, grad = costOps.kldiv(pred.jax.reshape(flat), target.jax.reshape(flat),
+                                  normTarget=self.normTarget)
+        return err, grad.reshape(pred.shape)
 
     def calcGrad(self, pred, target):
-        softmax, target = self._softmaxed(pred, target)
+        err, grad = self._divergence(pred, target)
 
-        grad = gpuarray.empty(pred.shape, dtype=np.float32, allocator=memPool)
-        gradnorm = 1.0 / softmax.shape[0]
-
-        klDivergence = getAccuracyKernel("klDivergence")
-        self.devErr = klDivergence(softmax, target, grad, gradnorm, allocator=memPool)
-
-        return grad
-
-    def calcError(self, pred, target):
-        self.accumErr += self.devErr
+        # base-class convention stores the raw batch SUM; kldiv returns the
+        # mean, so scale back up before getError divides by batch again
+        self.devErr._write(err * pred.shape[0])
+        return GPUArray(grad)
 
     def calcVal(self, pred, target):
-        shape = pred.shape
-        softmax, target = self._softmaxed(pred, target)
-
-        grad = gpuarray.empty(pred.shape, dtype=np.float32, allocator=memPool)
-        gradnorm = 1.0 / softmax.shape[0]
-
-        klDivergence = getAccuracyKernel("klDivergence")
-        error = klDivergence(softmax, target, grad, gradnorm, allocator=memPool)
-
-        return error.get() / shape[0]
+        err, _ = self._divergence(pred, target)
+        return float(np.asarray(err))
 
     def checkDataShape(self, pred, target):
         assert pred.shape[1:] == target.shape[1:]

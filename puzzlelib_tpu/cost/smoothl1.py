@@ -1,37 +1,33 @@
-"""Smooth-L1 (Huber) cost (reference: /root/reference/Cost/SmoothL1.py)."""
+"""Smooth-L1 (Huber) regression cost.
+
+Parity surface: /root/reference/Cost/SmoothL1.py — error normalized per-sample
+(``1/prod(shape[1:])``), gradient by the full element count; validation
+returns the fully normalized error. One fused XLA program per call
+(``ops.cost.smoothL1``).
+"""
 
 import numpy as np
 
-from puzzlelib_tpu.backend import gpuarray
-from puzzlelib_tpu.backend.gpuarray import memoryPool as memPool
-from puzzlelib_tpu.backend.kernels.costs import smoothL1Ker
+from puzzlelib_tpu.ops import cost as costOps
+from puzzlelib_tpu.tensor import GPUArray
 
 from puzzlelib_tpu.cost.cost import Cost
 
 
 class SmoothL1(Cost):
     def calcGrad(self, pred, target):
-        grad = gpuarray.empty(pred.shape, dtype=np.float32, allocator=memPool)
+        perSample = 1.0 / np.prod(target.shape[1:])
+        perElem = 1.0 / np.prod(target.shape)
 
-        fullnorm = 1.0 / np.prod(target.shape)
-        norm = 1.0 / np.prod(target.shape[1:])
-
-        self.devErr.fill(0.0)
-        smoothL1Ker(pred, target, self.devErr, grad, norm, fullnorm)
-
-        return grad
-
-    def calcError(self, pred, target):
-        self.accumErr += self.devErr
+        err, grad = costOps.smoothL1(pred.jax, target.jax, perSample, perElem)
+        self.devErr._write(err)
+        return GPUArray(grad)
 
     def calcVal(self, pred, target):
-        diff = gpuarray.empty(pred.shape, dtype=np.float32, allocator=memPool)
+        perElem = 1.0 / np.prod(target.shape)
 
-        fullnorm = 1.0 / np.prod(target.shape)
-        devErr = gpuarray.zeros((), dtype=np.float32, allocator=memPool)
-
-        smoothL1Ker(pred, target, devErr, diff, fullnorm, fullnorm)
-        return devErr.get()
+        err, _ = costOps.smoothL1(pred.jax, target.jax, perElem, perElem)
+        return float(np.asarray(err))
 
     def checkDataShape(self, pred, target):
         assert pred.shape[1:] == target.shape[1:]

@@ -1,14 +1,17 @@
-"""One-vs-rest SVM cost, L1/L2 margins (reference: /root/reference/Cost/SVM.py)."""
+"""One-vs-rest multiclass SVM cost with L1 or squared (L2) margins.
+
+Parity surface: /root/reference/Cost/SVM.py (mode names, normalization,
+``mostProb`` validation protocol). ``ops.cost.svm`` builds the ±1 one-vs-rest
+targets and emits error + gradient in one fused XLA program.
+"""
 
 import numpy as np
 
 from puzzlelib_tpu import config as Config
-from puzzlelib_tpu.backend import gpuarray
-from puzzlelib_tpu.backend.gpuarray import memoryPool as memPool
-from puzzlelib_tpu.backend.kernels.costs import getAccuracyKernel, svmKernel
-from puzzlelib_tpu.backend.kernels.matvec import argmax, argmaxBatch
+from puzzlelib_tpu.ops import cost as costOps
+from puzzlelib_tpu.tensor import GPUArray
 
-from puzzlelib_tpu.cost.cost import CostError, Cost
+from puzzlelib_tpu.cost.cost import Cost, requireLabelRange
 
 
 class SVM(Cost):
@@ -18,51 +21,36 @@ class SVM(Cost):
         self.mode = mode
         self.mostProb = None
 
+    def reset(self):
+        super().reset()
+        self.mostProb = None
+
+    def verifyLabels(self, scores, labels):
+        requireLabelRange("SVM", labels, 0, scores.shape[1] - 1)
+
     def calcGrad(self, scores, labels):
         if Config.verifyData:
             self.verifyLabels(scores, labels)
 
-        self.devErr, grad = svmKernel(scores, labels, mode=self.mode, error=self.devErr)
-        return grad
-
-    def calcError(self, scores, labels):
-        self.accumErr += self.devErr
+        err, grad = costOps.svm(scores.jax, labels.jax, mode=self.mode)
+        self.devErr._write(err)
+        return GPUArray(grad)
 
     def calcVal(self, scores, labels):
         if Config.verifyData:
             self.verifyLabels(scores, labels)
 
-        if scores.ndim == 2:
-            shape = scores.shape
-            self.mostProb = argmax(scores, axis=1)
-        else:
-            shape = scores.shape[:1] + scores.shape[2:]
-            scores = scores.reshape(*scores.shape[:2], int(np.prod(scores.shape[2:])))
-            self.mostProb = argmaxBatch(scores, axis=1).reshape(shape)
+        import jax.numpy as jnp
 
-        calcAccuracy = getAccuracyKernel("calcAccuracy")
-        return calcAccuracy(self.mostProb, labels, allocator=memPool).get() / shape[0]
+        pred = jnp.argmax(scores.jax, axis=1).astype(jnp.int32)
+        self.mostProb = GPUArray(pred)
 
-    def reset(self):
-        super().reset()
-        self.mostProb = None
+        wrong = costOps.accuracy(pred, labels.jax)
+        return float(np.asarray(wrong)) / scores.shape[0]
 
     def checkDataShape(self, scores, labels):
-        assert scores.ndim > 1 and labels.ndim == scores.ndim - 1
         assert labels.dtype == np.int32
-
-        if scores.ndim > 2:
-            assert scores.shape[2:] == labels.shape[1:]
+        assert scores.ndim == labels.ndim + 1 and scores.shape[2:] == labels.shape[1:]
 
     def checkValDataShape(self, scores, labels):
         self.checkDataShape(scores, labels)
-
-    @staticmethod
-    def verifyLabels(scores, labels):
-        mn, mx = gpuarray.minimum(labels).get(), gpuarray.maximum(labels).get()
-
-        if mn < 0:
-            raise CostError("SVM labels verification failed, found index %s (< 0)" % mn)
-
-        if mx >= scores.shape[1]:
-            raise CostError("SVM labels verification failed, found index %s (> %s)" % (mx, scores.shape[1] - 1))

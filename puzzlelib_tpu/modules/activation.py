@@ -1,15 +1,17 @@
-"""Elementwise activation module (reference: /root/reference/Modules/Activation.py)."""
+"""Elementwise activation module.
+
+Parity surface: /root/reference/Modules/Activation.py (activation names,
+default args, ``slc``/``inplace`` flags, blueprint capture). Each activation
+is a pure jnp expression from ``ops.elementwise`` that XLA fuses into its
+producer; ``slc`` applies it to a flat slice and passes the rest through.
+"""
 
 from enum import Enum
 
 from puzzlelib_tpu import config as Config
 from puzzlelib_tpu.backend import gpuarray
 from puzzlelib_tpu.backend.gpuarray import memoryPool as memPool
-from puzzlelib_tpu.backend.kernels.elementwise import (
-    sigmoidKer, sigmoidDerKer, tanhKer, tanhDerKer, reluKer, reluDerKer,
-    leakyReluKer, leakyReluDerKer, eluKer, eluDerKer,
-    softPlusKer, softPlusDerKer, clipKer, clipDerKer
-)
+from puzzlelib_tpu.ops import elementwise as ew
 from puzzlelib_tpu.modules.module import ModuleError, Module
 
 
@@ -32,45 +34,61 @@ softPlus = ActivationType.softPlus
 clip = ActivationType.clip
 
 
+# activation -> (forward fn, derivative fn taking (outgrad, outdata), default args)
+_FUNCS = {
+    ActivationType.sigmoid: (ew.sigmoid, ew.sigmoidDer, ()),
+    ActivationType.tanh: (ew.tanh, ew.tanhDer, ()),
+    ActivationType.relu: (ew.relu, ew.reluDer, ()),
+    ActivationType.leakyRelu: (ew.leakyRelu, ew.leakyReluDer, (0.01, )),
+    ActivationType.elu: (ew.elu, ew.eluDer, (1.0, )),
+    ActivationType.softPlus: (ew.softPlus, ew.softPlusDer, ()),
+    ActivationType.clip: (ew.clip, ew.clipDer, (0.0, 6.0)),
+}
+
+
+def _overSlice(fn, tensors, args, slc):
+    """fn over the whole arrays, or over a flat slice with pass-through
+    elsewhere (the CUDA strided-slice ElementwiseKernel semantics)."""
+    if slc is None:
+        return fn(*tensors, *args)
+
+    head = tensors[0].ravel()
+    tail = [t.ravel()[slc] for t in tensors[1:]]
+    return head.at[slc].set(fn(head[slc], *tail, *args)).reshape(tensors[0].shape)
+
+
 class Activation(Module):
     def __init__(self, activation, slc=None, inplace=False, name=None, args=()):
         super().__init__(name)
         self.registerBlueprint(locals())
 
         self.gradUsesOutData = True
-        self.inplace = inplace
 
+        self.inplace = inplace
         if inplace and Config.showWarnings:
             Config.getLogger().info("Warning: %s is using inplace flag", self)
 
-        activation = ActivationType(activation)
+        self.activation = ActivationType(activation)
+        if self.activation not in _FUNCS:
+            raise ModuleError("Unrecognized activation %s" % activation)
 
-        self.actFunc, self.actFuncDer = {
-            ActivationType.sigmoid: (sigmoidKer, sigmoidDerKer),
-            ActivationType.tanh: (tanhKer, tanhDerKer),
-            ActivationType.relu: (reluKer, reluDerKer),
-            ActivationType.leakyRelu: (leakyReluKer, leakyReluDerKer),
-            ActivationType.elu: (eluKer, eluDerKer),
-            ActivationType.softPlus: (softPlusKer, softPlusDerKer),
-            ActivationType.clip: (clipKer, clipDerKer)
-        }[activation]
-
-        self.activation = activation
         self.slc = slc
+        self.actArgs = tuple(args) if len(args) > 0 else _FUNCS[self.activation][2]
 
-        self.actArgs = args if len(args) > 0 else {
-            ActivationType.leakyRelu: (0.01, ),
-            ActivationType.elu: (1.0, ),
-            ActivationType.clip: (0.0, 6.0)
-        }.get(activation, ())
+    def _outputInto(self, src):
+        return src if self.inplace else gpuarray.empty(src.shape, dtype=src.dtype, allocator=memPool)
 
     def updateData(self, data):
-        self.data = data if self.inplace else gpuarray.empty(data.shape, dtype=data.dtype, allocator=memPool)
-        self.actFunc(data.dtype)(self.data, data, *self.actArgs, slice=self.slc)
+        fwd = _FUNCS[self.activation][0]
+
+        self.data = self._outputInto(data)
+        self.data._write(_overSlice(fwd, (data.jax, ), self.actArgs, self.slc))
 
     def updateGrad(self, grad):
-        self.grad = grad if self.inplace else gpuarray.empty(grad.shape, dtype=grad.dtype, allocator=memPool)
-        self.actFuncDer(grad.dtype)(self.grad, grad, self.data, *self.actArgs, slice=self.slc)
+        der = _FUNCS[self.activation][1]
+
+        self.grad = self._outputInto(grad)
+        self.grad._write(_overSlice(der, (grad.jax, self.data.jax), self.actArgs, self.slc))
 
     def dataShapeFrom(self, shape):
         return shape

@@ -1,7 +1,25 @@
-"""Reference: /root/reference/Modules/MaxUnpool2D.py."""
+"""Max-unpooling tied to a MaxPool2D module's argmax mask.
+
+Parity surface: /root/reference/Modules/MaxUnpool2D.py — ctor takes the
+pooling module (excluded from the blueprint), forces its mask on, and scatters
+through the recorded flat argmax indices (``ops.pool``: a jitted scatter, the
+TPU answer to the reference's atomic unpool kernel).
+"""
 
 from puzzlelib_tpu.backend.kernels import pool as Pool
 from puzzlelib_tpu.modules.module import ModuleError, Module
+
+
+def _unpooledHW(pool, pooledHW):
+    """Spatial extent before pooling, from the tied module's geometry."""
+    return tuple((n - 1) * stride + size - 2 * pad for n, size, stride, pad in
+                 zip(pooledHW, pool.size, pool.stride, pool.pad))
+
+
+def _pooledHW(pool, fullHW):
+    """Spatial extent after pooling, inverse of :func:`_unpooledHW`."""
+    return tuple((n + 2 * pad - size) // stride + 1 for n, size, stride, pad in
+                 zip(fullHW, pool.size, pool.stride, pool.pad))
 
 
 class MaxUnpool2D(Module):
@@ -9,45 +27,31 @@ class MaxUnpool2D(Module):
         super().__init__(name)
         self.registerBlueprint(locals(), exclude=["maxpool2d"])
 
+        maxpool2d.withMask = True
         self.maxpool2d = maxpool2d
-        self.maxpool2d.withMask = True
 
     def updateData(self, data):
-        self.data = Pool.maxunpool2d(data, self.maxpool2d.inData.shape, self.maxpool2d.mask)
+        pool = self.maxpool2d
+        self.data = Pool.maxunpool2d(data, pool.inData.shape, pool.mask)
 
     def updateGrad(self, grad):
-        self.grad = Pool.maxunpool2dBackward(grad, self.maxpool2d.data.shape, self.maxpool2d.mask)
+        pool = self.maxpool2d
+        self.grad = Pool.maxunpool2dBackward(grad, pool.data.shape, pool.mask)
 
     def dataShapeFrom(self, shape):
-        batchsize, maps, inh, inw = shape
-
-        hsize, wsize = self.maxpool2d.size
-        padh, padw = self.maxpool2d.pad
-        hstride, wstride = self.maxpool2d.stride
-
-        outh = (inh - 1) * hstride - 2 * padh + hsize
-        outw = (inw - 1) * wstride - 2 * padw + wsize
-
-        return batchsize, maps, outh, outw
-
-    def checkDataShape(self, shape):
-        if shape != self.maxpool2d.mask.shape:
-            raise ModuleError("Data shape (current %s) must be equal to connected MaxPool2D mask shape (%s)" %
-                              (shape, self.maxpool2d.mask.shape))
+        return shape[:2] + _unpooledHW(self.maxpool2d, shape[2:])
 
     def gradShapeFrom(self, shape):
-        batchsize, maps, outh, outw = shape
+        return shape[:2] + _pooledHW(self.maxpool2d, shape[2:])
 
-        hsize, wsize = self.maxpool2d.size
-        padh, padw = self.maxpool2d.pad
-        hstride, wstride = self.maxpool2d.stride
-
-        inh = (outh + 2 * padh - hsize) // hstride + 1
-        inw = (outw + 2 * padw - wsize) // wstride + 1
-
-        return batchsize, maps, inh, inw
+    def checkDataShape(self, shape):
+        maskShape = self.maxpool2d.mask.shape
+        if shape != maskShape:
+            raise ModuleError("Data shape (current %s) must be equal to connected MaxPool2D mask shape (%s)" %
+                              (shape, maskShape))
 
     def checkGradShape(self, shape):
-        if shape != self.maxpool2d.inData.shape:
+        pooledInput = self.maxpool2d.inData.shape
+        if shape != pooledInput:
             raise ModuleError("Grad shape (current %s) must be equal to connected MaxPool2D data shape (%s)" %
-                              (shape, self.maxpool2d.inData.shape))
+                              (shape, pooledInput))

@@ -160,6 +160,16 @@ class Module:
     def accGradParams(self, grad, scale=1.0, momentum=0.0):
         pass
 
+    def foldParamGrad(self, name, newGrad, scale=1.0, momentum=0.0):
+        """vars[name].grad = scale * newGrad + momentum * vars[name].grad,
+        fused into one XLA op (the reference routes this through a per-var
+        Blas.addVectorToVector, /root/reference/Modules/InstanceNorm2D.py:52)."""
+        from puzzlelib_tpu.ops import elementwise as ew
+
+        acc = self.vars[name].grad
+        src = newGrad.jax if hasattr(newGrad, "jax") else newGrad
+        acc._write(ew.add(src.reshape(acc.shape), scale, acc.jax, momentum))
+
     def zeroGradParams(self):
         for var in self.vars.values():
             if not var.hasUpdater:

@@ -1,4 +1,10 @@
-"""Reference: /root/reference/Modules/Upsample2D.py."""
+"""Integer-factor 2D upsampling (nearest or bilinear).
+
+Parity surface: /root/reference/Modules/Upsample2D.py — mode names, the
+divisibility contract on the gradient, shape algebra. The compute lives in
+``ops.upsample`` (broadcast-reshape for nearest, gather-weighted for linear),
+reached through the backend kernel slots.
+"""
 
 from enum import Enum
 
@@ -25,6 +31,14 @@ class Upsample2D(Module):
     def updateGrad(self, grad):
         self.grad = Upsample.upsample2dBackward(grad, self.scale, mode=self.mode.value)
 
+    def dataShapeFrom(self, shape):
+        n, c, h, w = shape
+        return n, c, h * self.scale, w * self.scale
+
+    def gradShapeFrom(self, shape):
+        n, c, h, w = shape
+        return n, c, h // self.scale, w // self.scale
+
     def checkDataShape(self, shape):
         if len(shape) != 4:
             raise ModuleError("Data must be 4d tensor")
@@ -33,14 +47,5 @@ class Upsample2D(Module):
         if len(shape) != 4:
             raise ModuleError("Grad must be 4d tensor")
 
-        _, _, h, w = shape
-        if h % self.scale != 0 or w % self.scale != 0:
+        if any(extent % self.scale for extent in shape[2:]):
             raise ModuleError("Grad map size is not divisible by scale %s" % self.scale)
-
-    def dataShapeFrom(self, shape):
-        batchsize, maps, h, w = shape
-        return batchsize, maps, self.scale * h, self.scale * w
-
-    def gradShapeFrom(self, shape):
-        batchsize, maps, h, w = shape
-        return batchsize, maps, h // self.scale, w // self.scale

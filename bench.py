@@ -79,6 +79,44 @@ def probeRelay(timeout=900):
         return False
 
 
+def measureFusedGroups(buildFn, inshape, batch, ksteps, groups=5, iters=4):
+    """Per-step seconds for ``groups`` independently timed runs of the fused
+    K-step dispatch — the spread across groups characterizes the relay's
+    run-to-run variance (the source of the 289k→228k LeNet drift across
+    rounds; see PARITY §6)."""
+    from puzzlelib_tpu.backend import gpuarray
+    from puzzlelib_tpu.cost import CrossEntropy
+    from puzzlelib_tpu.optimizers import MomentumSGD
+    from puzzlelib_tpu.fused import FusedStep
+
+    np.random.seed(0)
+    data = np.random.randn(ksteps * batch, *inshape).astype(np.float32)
+    labels = np.random.randint(0, 10, size=(ksteps * batch, )).astype(np.int32)
+
+    net = buildFn()
+    optimizer = MomentumSGD(learnRate=0.01, momRate=0.9)
+    optimizer.setupOn(net, useGlobalState=True)
+
+    step = FusedStep(net, CrossEntropy(), optimizer)
+    dataDev, labelsDev = gpuarray.to_gpu(data), gpuarray.to_gpu(labels)
+
+    syncBuf = min(step.buffers, key=lambda b: b.nbytes)
+    run = lambda: step.many(dataDev, labelsDev, steps=ksteps)
+    sync = lambda: np.asarray(syncBuf.jax)
+
+    # sync via a tiny host readback: on relayed PJRT backends
+    # ``block_until_ready`` can return before execution finishes, so the only
+    # honest fence is a device->host read of a buffer the step wrote
+    return [timeSteps(run, sync, warmup=2 if g == 0 else 0, iters=iters) / ksteps
+            for g in range(groups)]
+
+
+def buildNiN():
+    # the reference's CIFAR-10 Network-in-Network (TestLib/CnnCifar10NIN.py)
+    from testlib.cnncifar10nin import buildNet as buildNiNNet
+    return buildNiNNet()
+
+
 def main():
     import jax
 
@@ -98,33 +136,23 @@ def main():
     from puzzlelib_tpu.backend import gpuarray
     from puzzlelib_tpu.cost import CrossEntropy
     from puzzlelib_tpu.optimizers import MomentumSGD
-    from puzzlelib_tpu.fused import FusedStep
 
-    np.random.seed(0)
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     ksteps = int(os.environ.get("BENCH_STEPS", "16"))
 
+    lenetSecs = measureFusedGroups(buildNet, (1, 28, 28), batch, ksteps)
+    fusedSec = float(np.median(lenetSecs))
+
+    # NIN CIFAR-10 train throughput (BASELINE.md names LeNet AND NIN)
+    try:
+        ninSecs = measureFusedGroups(buildNiN, (3, 32, 32), batch, ksteps, groups=3)
+        ninTrain = round(batch / float(np.median(ninSecs)), 1)
+    except Exception:
+        ninTrain = None
+
+    np.random.seed(0)
     data = np.random.randn(ksteps * batch, 1, 28, 28).astype(np.float32)
     labels = np.random.randint(0, 10, size=(ksteps * batch, )).astype(np.int32)
-
-    # -- fused path: K train steps per dispatch (lax.scan inside the program) --
-    net = buildNet()
-    optimizer = MomentumSGD(learnRate=0.01, momRate=0.9)
-    optimizer.setupOn(net, useGlobalState=True)
-    cost = CrossEntropy()
-
-    step = FusedStep(net, cost, optimizer)
-    dataDev, labelsDev = gpuarray.to_gpu(data), gpuarray.to_gpu(labels)
-
-    # sync via a tiny host readback: on relayed PJRT backends
-    # ``block_until_ready`` can return before execution finishes, so the only
-    # honest fence is a device->host read of a buffer the step wrote (the
-    # 40-float bias is ~free to transfer)
-    fusedSec = timeSteps(
-        lambda: step.many(dataDev, labelsDev, steps=ksteps),
-        lambda: np.asarray(net[-1].b.jax),
-        warmup=2, iters=10,
-    ) / ksteps
 
     # -- eager (reference-style per-op dispatch) baseline --------------------
     netE = buildNet()
@@ -148,7 +176,7 @@ def main():
 
     imagesPerSec = batch / fusedSec
 
-    print(json.dumps({
+    result = {
         "metric": "lenet_train_images_per_sec",
         "value": round(imagesPerSec, 1),
         "unit": "images/sec",
@@ -157,7 +185,19 @@ def main():
         # mode — NOT a cross-framework comparison
         "vs_baseline": round(eagerSec / fusedSec, 2),
         "vs_baseline_meaning": "fused step speedup vs own eager mode (reference publishes no numbers)",
-    }))
+        # run-to-run spread over independently timed groups: the relay's
+        # variance, which explains the ~20% cross-round drift of this metric
+        "spread_images_per_sec": {
+            "min": round(batch / max(lenetSecs), 1),
+            "median": round(imagesPerSec, 1),
+            "max": round(batch / min(lenetSecs), 1),
+        },
+    }
+
+    if ninTrain is not None:
+        result["nin_cifar_train_images_per_sec"] = ninTrain
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

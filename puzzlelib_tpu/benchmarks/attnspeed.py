@@ -81,6 +81,15 @@ def main():
             print("seq %5d causal=%d | flash %7.2f ms (%5.1f TF/s) | xla %7.2f ms (%5.1f TF/s) | %.2fx"
                   % (s, causal, tF * 1e3, flops / tF / 1e12, tX * 1e3, flops / tX / 1e12, tX / tF))
 
+            # persist the winner in the measured dispatch table (what
+            # attentionAlgo="auto" consults; ties go to XLA)
+            from puzzlelib_tpu.ops import attention as attnops
+            choice = "flash" if tF < tX * 0.97 else "xla"
+            attnops._attnChoice[attnops._signature(b, h, s, d, causal, q.dtype)] = choice
+
+    from puzzlelib_tpu.ops import attention as attnops
+    print("dispatch table:", sorted(attnops._attnChoice.items()))
+
 
 if __name__ == "__main__":
     main()

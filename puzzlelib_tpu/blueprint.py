@@ -37,13 +37,19 @@ class BlueprintFactory:
             and not issubclass(cls, Container) and cls is not Module
         }
 
+        # container-shaped modules live outside the containers package but
+        # rebuild through the container path (lazily re-exported to dodge the
+        # import cycle, so vars() scans never see them)
+        from puzzlelib_tpu.modules.switchmoe import SwitchMoE
+        self.containers["SwitchMoE"] = SwitchMoE
+
     def build(self, blueprint, log=False):
         classname, scheme = blueprint["classname"], blueprint["scheme"]
 
         if classname in self.containers:
             graph, elements = blueprint["graph"], blueprint["modules"]
 
-            if classname in {"Sequential", "Parallel"}:
+            if classname in {"Sequential", "Parallel", "Pipeline"}:
                 mod = self.containers[classname](name=scheme["name"])
 
                 for name in graph:
@@ -61,7 +67,12 @@ class BlueprintFactory:
                 mod = self.containers[classname](inputs, outputs, name=scheme["name"])
 
             else:
-                raise NotImplementedError(classname)
+                # scheme-carrying containers (SwitchMoE): ctor kwargs from the
+                # scheme, then append the recorded children in graph order
+                mod = self.containers[classname](**scheme)
+
+                for name in graph:
+                    mod.append(self.build(elements[name], log=log))
 
         elif classname in self.modules:
             if "initscheme" in scheme:

@@ -64,8 +64,10 @@ debugAllocator = False
 # (pallas for large aligned shapes where the autotuner measured a win).
 gemmAlgo = os.environ.get("PUZZLE_GEMM_ALGO", "xla")
 
-# attention inference kernel: "xla" or "flash" (Pallas online-softmax)
-attentionAlgo = os.environ.get("PUZZLE_ATTENTION_ALGO", "xla")
+# attention kernel: "auto" (measured per-signature dispatch - the Pallas
+# online-softmax flash kernel where it measured faster, structurally for long
+# bf16 sequences on TPU, XLA otherwise), "xla", or "flash" (force).
+attentionAlgo = os.environ.get("PUZZLE_ATTENTION_ALGO", "auto")
 
 # conv dispatch: "auto" (Pallas batch-in-lanes kernel for small-output-channel
 # stride-1 bf16 convs - e.g. backward-data - where it measures ~4x over XLA's

@@ -22,6 +22,7 @@ class Engine(Module):
             self.exported = jexport.deserialize(f.read())
 
         self.enginepath = enginepath
+        self._manyCache = {}
 
         specpath = enginepath.replace(".engine", ".spec.json")
         self.spec = None
@@ -33,6 +34,40 @@ class Engine(Module):
     def updateData(self, data):
         result = self.exported.call(data.jax)
         self.data = gpuarray.GPUArray(result)
+
+    def many(self, batches, steps=None):
+        """Run K batches in ONE dispatch: ``batches`` (K, *inshape) ->
+        (K, *outshape).
+
+        The serving twin of ``FusedStep.many``: through the TPU relay every
+        dispatch pays a fixed ~2.3 ms floor, so eager per-batch serving is
+        dispatch-bound long before the compute saturates.  A ``lax.scan``
+        over the exported executable amortizes that across K batches.
+        (The grouped-inference role of the TensorRT engine's stream batching,
+        /root/reference/Converter/TensorRT/RTEngine.py:27.)
+        """
+        import jax
+        from jax import lax
+
+        arr = batches.jax if hasattr(batches, "jax") else batches
+        k = int(arr.shape[0]) if steps is None else int(steps)
+        arr = arr[:k]
+
+        key = (k, ) + tuple(arr.shape[1:])
+        fn = self._manyCache.get(key)
+
+        if fn is None:
+            @jax.jit
+            def fn(stacked):
+                def body(_, x):
+                    return None, self.exported.call(x)
+
+                _, out = lax.scan(body, None, stacked)
+                return out
+
+            self._manyCache[key] = fn
+
+        return gpuarray.GPUArray(fn(arr))
 
     def updateGrad(self, grad):
         raise ModuleError("Engine is inference-only")

@@ -64,3 +64,14 @@ from puzzlelib_tpu.modules.tolist import ToList
 from puzzlelib_tpu.modules.transpose import Transpose
 from puzzlelib_tpu.modules.upsample2d import Upsample2D
 from puzzlelib_tpu.modules.upsample3d import Upsample3D
+
+
+def __getattr__(name):
+    # lazy: switchmoe subclasses Container, and an eager import here would be
+    # circular (containers.container imports modules.module, whose package
+    # init is this file)
+    if name in ("SwitchMoE", "MoEGate"):
+        from puzzlelib_tpu.modules import switchmoe
+        return getattr(switchmoe, name)
+
+    raise AttributeError("module %r has no attribute %r" % (__name__, name))

@@ -1,7 +1,13 @@
-"""Reference: /root/reference/Modules/Add.py."""
+"""Elementwise sum of a list of equal-shaped inputs.
 
-from puzzlelib_tpu.backend import gpuarray, blas as Blas
-from puzzlelib_tpu.backend.gpuarray import memoryPool as memPool
+Parity surface: /root/reference/Modules/Add.py (list-in/one-out protocol,
+shared gradient object — ``movesGrad``). One fused n-ary add instead of the
+reference's accumulate-into-zeros kernel loop.
+"""
+
+from functools import reduce
+
+from puzzlelib_tpu.tensor import GPUArray
 from puzzlelib_tpu.modules.module import ModuleError, Module
 
 
@@ -11,13 +17,10 @@ class Add(Module):
         self.movesGrad = True
 
     def updateData(self, data):
-        firstdata = data[0]
-        self.data = gpuarray.zeros(firstdata.shape, dtype=firstdata.dtype, allocator=memPool)
-
-        for dat in data:
-            Blas.toVectorAddVector(self.data.ravel(), dat.ravel())
+        self.data = GPUArray(reduce(lambda a, b: a + b, [d.jax for d in data]))
 
     def updateGrad(self, grad):
+        # the sum's gradient fans out unchanged: every branch shares one object
         self.grad = [grad] * len(self.inData)
 
     def checkDataShape(self, shapes):

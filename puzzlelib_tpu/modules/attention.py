@@ -48,23 +48,43 @@ class MultiHeadAttention(Module):
             else [None] * 4
         return ws, bs
 
-    def _algo(self):
-        # the flash kernel needs a real TPU to compile (CPU supports interpret
-        # mode only -> fall back to the XLA path); training uses the kernel's
-        # custom VJP (blockwise flash backward)
+    def _algo(self, shape):
+        """Concrete kernel for this input signature.
+
+        "auto" (the default) consults the measured per-signature dispatch
+        table (populated by ``optimizeForShape``) with the long-sequence
+        structural prior as fallback — the attention arm of the conv/GEMM
+        measured-dispatch family.  The flash kernel needs a real TPU to
+        compile (CPU supports interpret mode only); training differentiates
+        through its custom VJP (blockwise flash backward)."""
         algo = self.attnAlgo
+
+        batch, seq = shape[0], shape[1]
+        hdim = self.embsize // self.nheads
+
+        if algo == "auto":
+            return attnops.resolveAlgo(batch, self.nheads, seq, hdim,
+                                       self.causal, self.calctype)
+
         if algo == "flash":
             import jax
             if jax.devices()[0].platform == "cpu":
                 algo = "xla"
         return algo
 
+    def optimizeForShape(self, shape, memlimit=None):
+        # race flash vs XLA for this signature and persist the winner
+        # (Module.optimizeForShape = the cuDNN algo-search hook)
+        attnops.measureAttnChoice(shape[0], self.nheads, shape[1],
+                                  self.embsize // self.nheads,
+                                  self.causal, self.calctype)
+
     def updateData(self, data):
         (wq, wk, wv, wo), (bq, bk, bv, bo) = self._weights()
 
         self.data = gpuarray.GPUArray(attnops.mhaForward(
             data.jax, wq, wk, wv, wo, bq, bk, bv, bo,
-            nheads=self.nheads, causal=self.causal, algo=self._algo()
+            nheads=self.nheads, causal=self.causal, algo=self._algo(data.shape)
         ))
         # any cached backward belongs to the previous forward
         self._vjpCache, self._vjpGradArr = None, None
@@ -78,7 +98,7 @@ class MultiHeadAttention(Module):
             (wq, wk, wv, wo), (bq, bk, bv, bo) = self._weights()
             self._vjpCache = attnops.mhaBackward(
                 self.inData.jax, wq, wk, wv, wo, bq, bk, bv, bo, grad.jax,
-                nheads=self.nheads, causal=self.causal, algo=self._algo()
+                nheads=self.nheads, causal=self.causal, algo=self._algo(self.inData.shape)
             )
             self._vjpGradArr = grad.jax
 

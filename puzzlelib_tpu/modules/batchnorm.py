@@ -1,9 +1,16 @@
-"""Per-activation batch norm on 2d data (reference: /root/reference/Modules/BatchNorm.py)."""
+"""Per-activation batch norm on 2d (batch, size) data.
+
+Parity surface: /root/reference/Modules/BatchNorm.py — running-stat factor
+schedule (``initFactor/minFactor``), affine switch, ``empty``/``inplace``
+flags. The op is the backend's per-activation batch norm over a 4d view;
+inside a fused step the factor comes from the device-side step counter
+(``fusedctx``) so the whole schedule stays one traced program.
+"""
 
 import numpy as np
 
 from puzzlelib_tpu import config as Config
-from puzzlelib_tpu.backend import gpuarray, blas as Blas
+from puzzlelib_tpu.backend import gpuarray
 from puzzlelib_tpu.backend.dnn import BatchNormMode, batchNormNd, batchNormNdBackward
 
 from puzzlelib_tpu.variable import Variable
@@ -16,89 +23,94 @@ class BatchNorm(Module):
         super().__init__(name)
         self.registerBlueprint(locals())
 
+        self.size = size
+        self.epsilon = epsilon
+        self.initFactor, self.minFactor = initFactor, minFactor
+        self.numOfProps = 0
+        self.affine = affine
+
         self.inplace = inplace
         if inplace and Config.showWarnings:
             Config.getLogger().info("Warning: %s is using inplace flag", self)
 
-        self.size = size
-        self.epsilon = epsilon
-        self.initFactor = initFactor
-        self.minFactor = minFactor
-        self.numOfProps = 0
+        self.scale = self.bias = self.mean = self.var = None
+        self._saved = None       # (mean, invvar) from the training forward
+        self._paramGrads = None  # (dscale, dbias) from the backward
 
-        self.affine = affine
+        if not empty:
+            self._initState(sscale)
 
-        self.scale, self.bias, self.mean, self.var = None, None, None, None
-        self.savemean, self.saveinvvar, self.scalegrad, self.biasgrad = None, None, None, None
+    def _initState(self, sscale):
+        stat = (1, self.size, 1, 1)
 
-        if empty:
-            return
+        jitter = sscale if self.affine else 0.0
+        self.setVar("scale", Variable(gpuarray.to_gpu(
+            np.random.normal(1.0, jitter, stat).astype(np.float32))))
+        self.setVar("bias", Variable(gpuarray.zeros(stat, dtype=np.float32)))
 
-        shape = (1, size, 1, 1)
-        scale = np.random.normal(1.0, sscale if affine else 0.0, shape).astype(np.float32)
+        self.setAttr("mean", gpuarray.zeros(stat, dtype=np.float32))
+        self.setAttr("var", gpuarray.to_gpu(np.ones(stat, dtype=np.float32)))
 
-        self.setVar("scale", Variable(gpuarray.to_gpu(scale)))
-        self.setVar("bias", Variable(gpuarray.zeros(shape, dtype=np.float32)))
+    def _statFactor(self):
+        """Running-stat blend weight: initFactor/step, floored at minFactor.
+        Under a fused trace the step count is the device-side counter."""
+        from puzzlelib_tpu import fusedctx
 
-        self.setAttr("mean", gpuarray.zeros(shape, dtype=np.float32))
-        self.setAttr("var", gpuarray.to_gpu(np.ones(shape, dtype=np.float32)))
+        if fusedctx.active():
+            import jax.numpy as jnp
+            return jnp.maximum(self.initFactor / fusedctx.stepOr(1), self.minFactor)
+
+        self.numOfProps += 1
+        return max(self.initFactor / self.numOfProps, self.minFactor)
+
+    def _as4d(self, tensor):
+        return tensor.reshape(tensor.shape[0], self.size, 1, 1)
 
     def updateData(self, data):
-        indata = data.reshape(data.shape[0], self.size, 1, 1)
+        view = self._as4d(data)
 
         if self.train:
             if self.inplace:
                 raise ModuleError("%s: using inplace flag in train mode is prohibited" % self)
 
-            from puzzlelib_tpu import fusedctx
-
-            if fusedctx.active():
-                import jax.numpy as jnp
-                factor = jnp.maximum(self.initFactor / fusedctx.stepOr(1), self.minFactor)
-            else:
-                self.numOfProps += 1
-                factor = max(self.initFactor / self.numOfProps, self.minFactor)
-
-            self.data, self.savemean, self.saveinvvar = batchNormNd(
-                indata, self.scale, self.bias, self.mean, self.var, self.epsilon, factor, False,
-                BatchNormMode.perActivation
+            out, savemean, saveinvvar = batchNormNd(
+                view, self.scale, self.bias, self.mean, self.var, self.epsilon,
+                self._statFactor(), False, BatchNormMode.perActivation
             )
+            self._saved = (savemean, saveinvvar)
         else:
-            self.data = batchNormNd(
-                indata, self.scale, self.bias, self.mean, self.var, self.epsilon, 0, True,
-                BatchNormMode.perActivation, out=indata if self.inplace else None
+            out = batchNormNd(
+                view, self.scale, self.bias, self.mean, self.var, self.epsilon, 0, True,
+                BatchNormMode.perActivation, out=view if self.inplace else None
             )
 
-        self.data = self.data.reshape(*data.shape)
+        self.data = out.reshape(*data.shape)
 
     def updateGrad(self, grad):
-        data = self.inData.reshape(self.inData.shape[0], self.size, 1, 1)
-        outgrad = grad.reshape(grad.shape[0], self.size, 1, 1)
+        savemean, saveinvvar = self._saved
 
-        tup = batchNormNdBackward(
-            data, outgrad, self.scale, self.savemean, self.saveinvvar, self.epsilon,
-            mode=BatchNormMode.perActivation
+        ingrad, dscale, dbias = batchNormNdBackward(
+            self._as4d(self.inData), self._as4d(grad), self.scale,
+            savemean, saveinvvar, self.epsilon, mode=BatchNormMode.perActivation
         )
 
-        if self.affine:
-            self.grad, self.scalegrad, self.biasgrad = tup
-        else:
-            self.grad, _, _ = tup
-
-        self.grad = self.grad.reshape(*grad.shape)
+        self._paramGrads = (dscale, dbias) if self.affine else None
+        self.grad = ingrad.reshape(*grad.shape)
 
     def accGradParams(self, grad, scale=1.0, momentum=0.0):
         if self.affine:
-            Blas.addVectorToVector(
-                self.scalegrad.ravel(), self.vars["scale"].grad.ravel(),
-                out=self.vars["scale"].grad.ravel(), alpha=scale, beta=momentum
-            )
-            Blas.addVectorToVector(
-                self.biasgrad.ravel(), self.vars["bias"].grad.ravel(),
-                out=self.vars["bias"].grad.ravel(), alpha=scale, beta=momentum
-            )
+            dscale, dbias = self._paramGrads
+            self.foldParamGrad("scale", dscale, scale, momentum)
+            self.foldParamGrad("bias", dbias, scale, momentum)
+
+    def reset(self):
+        super().reset()
+        self._saved = self._paramGrads = None
 
     def dataShapeFrom(self, shape):
+        return shape
+
+    def gradShapeFrom(self, shape):
         return shape
 
     def checkDataShape(self, shape):
@@ -108,16 +120,6 @@ class BatchNorm(Module):
         if shape[1] != self.size:
             raise ModuleError("Expected %d data dimensions, %d were given" % (self.size, shape[1]))
 
-    def gradShapeFrom(self, shape):
-        return shape
-
     def checkGradShape(self, shape):
         if len(shape) != 2:
             raise ModuleError("Grad must be 2d matrix")
-
-    def reset(self):
-        super().reset()
-
-        self.savemean, self.saveinvvar = None, None
-        if self.affine:
-            self.scalegrad, self.biasgrad = None, None

@@ -1,4 +1,10 @@
-"""Reference: /root/reference/Modules/Glue.py."""
+"""User-hook module: arbitrary forward/backward glue callables.
+
+Parity surface: /root/reference/Modules/Glue.py — the four hook slots and the
+optional module dictionary are the whole contract; the hooks receive the raw
+data/grad plus the dictionary and return whatever the surrounding graph
+expects.
+"""
 
 from puzzlelib_tpu.modules.module import ModuleError, Module
 
@@ -11,10 +17,9 @@ class Glue(Module):
             raise ModuleError("Modules object must be non-empty dictionary")
 
         self.modules = modules
-        self.fwdGlue = fwdGlue
-        self.bwdGlue = bwdGlue
-        self.fwdShapeGlue = fwdShapeGlue
-        self.bwdShapeGlue = bwdShapeGlue
+
+        self.fwdGlue, self.bwdGlue = fwdGlue, bwdGlue
+        self.fwdShapeGlue, self.bwdShapeGlue = fwdShapeGlue, bwdShapeGlue
 
     def updateData(self, data):
         self.data = self.fwdGlue(data, self.modules)
@@ -23,13 +28,13 @@ class Glue(Module):
         self.grad = self.bwdGlue(grad, self.modules)
 
     def dataShapeFrom(self, shape):
-        if self.fwdShapeGlue is not None:
-            return self.fwdShapeGlue(shape)
+        if self.fwdShapeGlue is None:
+            raise ModuleError("Forward shape glue hook is not installed")
 
-        raise ModuleError("Forward shape glue hook is not installed")
+        return self.fwdShapeGlue(shape)
 
     def gradShapeFrom(self, shape):
-        if self.bwdShapeGlue is not None:
-            return self.bwdShapeGlue(shape)
+        if self.bwdShapeGlue is None:
+            raise ModuleError("Backward shape glue hook is not installed")
 
-        raise ModuleError("Backward shape glue hook is not installed")
+        return self.bwdShapeGlue(shape)

@@ -1,7 +1,18 @@
-"""Reference: /root/reference/Modules/MoveAxis.py."""
+"""Move one axis to a new position (numpy ``moveaxis`` semantics).
+
+Parity surface: /root/reference/Modules/MoveAxis.py. The backward is the
+inverse move; shape algebra is a literal pop/insert on the shape list rather
+than the reference's sliced-tuple arithmetic.
+"""
 
 from puzzlelib_tpu.backend import memory as Memory
 from puzzlelib_tpu.modules.module import ModuleError, Module
+
+
+def _movedShape(shape, src, dst):
+    s = list(shape)
+    s.insert(dst, s.pop(src))
+    return tuple(s)
 
 
 class MoveAxis(Module):
@@ -20,27 +31,23 @@ class MoveAxis(Module):
     def updateGrad(self, grad):
         self.grad = Memory.moveaxis(grad, self.dst, self.src)
 
+    def _requireRank(self, shape, what):
+        need = max(self.src, self.dst) + 1
+        if len(shape) < need:
+            raise ModuleError("%s dimension needs to be at least %d, (%s has %d)" %
+                              (what, need, what.lower(), len(shape)))
+
     def checkDataShape(self, shape):
-        ln = max(self.src, self.dst)
-        if len(shape) - 1 < ln:
-            raise ModuleError("Data dimension needs to be at least %d, (data has %d)" % (ln + 1, len(shape)))
+        self._requireRank(shape, "Data")
 
     def checkGradShape(self, shape):
-        ln = max(self.src, self.dst)
-        if len(shape) - 1 < ln:
-            raise ModuleError("Grad dimension needs to be at least %d, (grad has %d)" % (ln + 1, len(shape)))
+        self._requireRank(shape, "Grad")
 
     def dataShapeFrom(self, shape):
-        if self.src < self.dst:
-            return shape[:self.src] + shape[self.src + 1:self.dst + 1] + (shape[self.src], ) + shape[self.dst + 1:]
-        else:
-            return shape[:self.dst] + (shape[self.src], ) + shape[self.dst:self.src] + shape[self.src + 1:]
+        return _movedShape(shape, self.src, self.dst)
 
     def gradShapeFrom(self, shape):
-        if self.src < self.dst:
-            return shape[:self.src] + (shape[self.dst], ) + shape[self.src:self.dst] + shape[self.dst + 1:]
-        else:
-            return shape[:self.dst] + shape[self.dst + 1:self.src + 1] + (shape[self.dst], ) + shape[self.src + 1:]
+        return _movedShape(shape, self.dst, self.src)
 
     def calcMode(self, T):
         self.supportedDtypesCalcMode(T)

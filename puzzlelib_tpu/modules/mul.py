@@ -1,30 +1,33 @@
-"""Reference: /root/reference/Modules/Mul.py."""
+"""Elementwise product of a list of equal-shaped inputs.
 
-from puzzlelib_tpu.backend import gpuarray
-from puzzlelib_tpu.backend.gpuarray import copy, memoryPool as memPool
-from puzzlelib_tpu.backend.kernels.elementwise import mulKer
+Parity surface: /root/reference/Modules/Mul.py (list-in/one-out protocol,
+per-branch gradients). Forward is one fused product; each branch gradient is
+one fused leave-one-out product — XLA fuses the whole family into a couple of
+elementwise kernels instead of the reference's in-place kernel loop.
+"""
+
+from functools import reduce
+
+from puzzlelib_tpu.tensor import GPUArray
 from puzzlelib_tpu.modules.module import ModuleError, Module
+
+
+def _product(tensors):
+    return reduce(lambda a, b: a * b, tensors)
 
 
 class Mul(Module):
     def updateData(self, data):
-        self.data = gpuarray.empty(data[0].shape, dtype=data[0].dtype, allocator=memPool)
-        self.data.fill(1.0)
-
-        for dat in data:
-            mulKer(dat.dtype)(self.data, dat, self.data)
+        self.data = GPUArray(_product([d.jax for d in data]))
 
     def updateGrad(self, grad):
-        self.grad = []
+        xs = [d.jax for d in self.inData]
 
-        for i in range(len(self.inData)):
-            ingrad = copy(None, grad)
-
-            for k in range(len(self.inData)):
-                if k != i:
-                    mulKer(ingrad.dtype)(ingrad, self.inData[k], ingrad)
-
-            self.grad.append(ingrad)
+        # d/dx_i = grad * prod of the other branches
+        self.grad = [
+            GPUArray(_product([grad.jax] + xs[:i] + xs[i + 1:]))
+            for i in range(len(xs))
+        ]
 
     def checkDataShape(self, shapes):
         for shape in shapes:

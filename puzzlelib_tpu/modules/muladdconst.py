@@ -1,9 +1,12 @@
-"""Reference: /root/reference/Modules/MulAddConst.py."""
+"""Affine constant transform ``a * x + b``.
+
+Parity surface: /root/reference/Modules/MulAddConst.py. The forward and the
+(constant-slope) backward are single fused elementwise XLA ops.
+"""
 
 from puzzlelib_tpu import config as Config
-from puzzlelib_tpu.backend import gpuarray
-from puzzlelib_tpu.backend.gpuarray import memoryPool as memPool
-from puzzlelib_tpu.backend.kernels.elementwise import linearKer
+from puzzlelib_tpu.ops import elementwise as ew
+from puzzlelib_tpu.tensor import GPUArray
 from puzzlelib_tpu.modules.module import Module
 
 
@@ -13,18 +16,22 @@ class MulAddConst(Module):
         self.registerBlueprint(locals())
 
         self.a, self.b = a, b
-        self.inplace = inplace
 
+        self.inplace = inplace
         if inplace and Config.showWarnings:
             Config.getLogger().info("Warning: %s is using inplace flag", self)
 
+    def _emit(self, src, value):
+        if self.inplace:
+            src._write(value)
+            return src
+        return GPUArray(value)
+
     def updateData(self, data):
-        self.data = data if self.inplace else gpuarray.empty(data.shape, dtype=data.dtype, allocator=memPool)
-        linearKer(data.dtype)(self.data, data, self.a, self.b)
+        self.data = self._emit(data, ew.linear(data.jax, self.a, self.b))
 
     def updateGrad(self, grad):
-        self.grad = grad if self.inplace else gpuarray.empty(grad.shape, dtype=grad.dtype, allocator=memPool)
-        linearKer(grad.dtype)(self.grad, grad, self.a, 0.0)
+        self.grad = self._emit(grad, ew.linear(grad.jax, self.a, 0.0))
 
     def dataShapeFrom(self, shape):
         return shape

@@ -1,12 +1,16 @@
-"""Reference: /root/reference/Modules/Pad2D.py."""
+"""2D spatial padding, constant or reflect.
+
+Parity surface: /root/reference/Modules/Pad2D.py (pad order up/bottom/left/
+right, fill value, reflect mode). Constant padding is a single fused
+``jnp.pad``; reflect rides ``ops.pad``; both backwards are slices.
+"""
 
 from enum import Enum
 
-import numpy as np
+import jax.numpy as jnp
 
-from puzzlelib_tpu.backend import gpuarray
-from puzzlelib_tpu.backend.gpuarray import memoryPool as memPool
 from puzzlelib_tpu.backend.kernels import pad as Pad
+from puzzlelib_tpu.tensor import GPUArray
 from puzzlelib_tpu.modules.module import ModuleError, Module
 
 
@@ -25,34 +29,36 @@ class Pad2D(Module):
         self.fillValue = 0 if fillValue is None else fillValue
 
     def updateData(self, data):
-        upad, bpad, lpad, rpad = self.pad
+        up, bottom, left, right = self.pad
 
-        if self.mode == PadMode.constant:
-            inh, inw = data.shape[2:]
-            outh, outw = inh + upad + bpad, inw + lpad + rpad
-
-            self.data = gpuarray.empty(data.shape[:2] + (outh, outw), dtype=np.float32, allocator=memPool)
-            self.data.fill(self.fillValue)
-            self.data[:, :, upad:outh - bpad, lpad:outw - rpad] = data
-
-        elif self.mode == PadMode.reflect:
+        if self.mode == PadMode.reflect:
             self.data = Pad.reflectpad2d(data, self.pad)
+            return
 
-        else:
-            raise NotImplementedError(self.mode)
+        padded = jnp.pad(data.jax.astype(jnp.float32),
+                         ((0, 0), (0, 0), (up, bottom), (left, right)),
+                         constant_values=self.fillValue)
+        self.data = GPUArray(padded)
 
     def updateGrad(self, grad):
-        upad, bpad, lpad, rpad = self.pad
+        up, bottom, left, right = self.pad
 
-        if self.mode == PadMode.constant:
-            height, width = grad.shape[2:]
-            self.grad = grad[:, :, upad:height - bpad, lpad:width - rpad].copy(allocator=memPool)
-
-        elif self.mode == PadMode.reflect:
+        if self.mode == PadMode.reflect:
             self.grad = Pad.reflectpad2dBackward(grad, self.pad)
+            return
 
-        else:
-            raise NotImplementedError(self.mode)
+        h, w = grad.shape[2:]
+        self.grad = GPUArray(grad.jax[:, :, up:h - bottom, left:w - right])
+
+    def dataShapeFrom(self, shape):
+        n, c, h, w = shape
+        up, bottom, left, right = self.pad
+        return n, c, h + up + bottom, w + left + right
+
+    def gradShapeFrom(self, shape):
+        n, c, h, w = shape
+        up, bottom, left, right = self.pad
+        return n, c, h - up - bottom, w - left - right
 
     def checkDataShape(self, shape):
         if len(shape) != 4:
@@ -62,26 +68,14 @@ class Pad2D(Module):
         if len(shape) != 4:
             raise ModuleError("Grad must be 4d tensor")
 
-        upad, bpad, lpad, rpad = self.pad
-        height, width = shape[2:]
+        up, bottom, left, right = self.pad
+        h, w = shape[2:]
 
-        if height < upad + bpad + 1:
-            raise ModuleError("Grad maps height is too small (got %d, expected >= %d)" % (height, upad + bpad + 1))
+        if h < up + bottom + 1:
+            raise ModuleError("Grad maps height is too small (got %d, expected >= %d)" % (h, up + bottom + 1))
 
-        if width < lpad + rpad + 1:
-            raise ModuleError("Grad maps width is too small (got %d, expected >= %d)" % (width, lpad + rpad + 1))
-
-    def dataShapeFrom(self, shape):
-        batchsize, maps, inh, inw = shape
-        upad, bpad, lpad, rpad = self.pad
-
-        return batchsize, maps, inh + upad + bpad, inw + lpad + rpad
-
-    def gradShapeFrom(self, shape):
-        batchsize, maps, outh, outw = shape
-        upad, bpad, lpad, rpad = self.pad
-
-        return batchsize, maps, outh - upad - bpad, outw - lpad - rpad
+        if w < left + right + 1:
+            raise ModuleError("Grad maps width is too small (got %d, expected >= %d)" % (w, left + right + 1))
 
     def calcMode(self, T):
         self.supportedDtypesCalcMode(T)

@@ -1,7 +1,13 @@
-"""Reference: /root/reference/Modules/SubtractMean.py."""
+"""Subtractive normalization: remove the local window mean from each pixel.
 
-from puzzlelib_tpu.backend import blas as Blas
+Parity surface: /root/reference/Modules/SubtractMean.py (odd window contract,
+``includePad`` mean mode). The mean comes from the avg-pool op; the subtract
+in both directions is fused arithmetic on the device arrays rather than the
+reference's ravel/axpy dance.
+"""
+
 from puzzlelib_tpu.backend.dnn import PoolMode, poolNd, poolNdBackward
+from puzzlelib_tpu.tensor import GPUArray
 from puzzlelib_tpu.modules.module import ModuleError, Module
 
 
@@ -15,7 +21,6 @@ class SubtractMean(Module):
 
         self.size = self.repeat(size, 2)
         self.pad = (self.size[0] // 2, self.size[1] // 2)
-
         self.mode = PoolMode.avgWithPad if includePad else PoolMode.avgNoPad
 
         self.means = None
@@ -25,32 +30,29 @@ class SubtractMean(Module):
         self.means, self.workspace = poolNd(
             data, size=self.size, stride=(1, 1), pad=self.pad, mode=self.mode, test=not self.train
         )
-        self.data = Blas.addVectorToVector(data.ravel(), self.means.ravel(), beta=-1.0).reshape(*data.shape)
+        self.data = GPUArray(data.jax - self.means.jax)
 
     def updateGrad(self, grad):
         meansGrad = poolNdBackward(
-            self.inData, self.means, grad, self.workspace, size=self.size, stride=(1, 1), pad=self.pad,
-            mode=self.mode
+            self.inData, self.means, grad, self.workspace,
+            size=self.size, stride=(1, 1), pad=self.pad, mode=self.mode
         )
+        self.grad = GPUArray(grad.jax - meansGrad.jax)
 
-        Blas.addVectorToVector(grad.ravel(), meansGrad.ravel(), out=meansGrad.ravel(), beta=-1.0)
-        self.grad = meansGrad
+    def reset(self):
+        super().reset()
+        self.means = self.workspace = None
 
     def dataShapeFrom(self, shape):
+        return shape
+
+    def gradShapeFrom(self, shape):
         return shape
 
     def checkDataShape(self, shape):
         if len(shape) != 4:
             raise ModuleError("Data must be 4d tensor")
 
-    def gradShapeFrom(self, shape):
-        return shape
-
     def checkGradShape(self, shape):
         if len(shape) != 4:
             raise ModuleError("Grad must be 4d tensor")
-
-    def reset(self):
-        super().reset()
-        self.means = None
-        self.workspace = None

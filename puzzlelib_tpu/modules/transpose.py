@@ -1,4 +1,11 @@
-"""Reference: /root/reference/Modules/Transpose.py."""
+"""General axes permutation.
+
+Parity surface: /root/reference/Modules/Transpose.py. The backward applies
+the inverse permutation (computed by argsort instead of the reference's
+index-writing loop).
+"""
+
+import numpy as np
 
 from puzzlelib_tpu.backend import memory as Memory
 from puzzlelib_tpu.modules.module import ModuleError, Module
@@ -10,13 +17,7 @@ class Transpose(Module):
         self.registerBlueprint(locals())
 
         self.axes = axes
-
-        if axes is None:
-            self.invaxes = None
-        else:
-            self.invaxes = [0] * len(axes)
-            for i, axis in enumerate(axes):
-                self.invaxes[axis] = i
+        self.invaxes = None if axes is None else [int(i) for i in np.argsort(axes)]
 
     def updateData(self, data):
         self.data = Memory.transpose(data, self.axes)
@@ -24,13 +25,16 @@ class Transpose(Module):
     def updateGrad(self, grad):
         self.grad = Memory.transpose(grad, self.invaxes)
 
-    def checkDataShape(self, shape):
+    def _requireRank(self, shape, what):
         if self.axes is not None and len(shape) != len(self.axes):
-            raise ModuleError("Data dimension needs to be %d, (data has %d)" % (len(self.axes), len(shape)))
+            raise ModuleError("%s dimension needs to be %d, (%s has %d)" %
+                              (what, len(self.axes), what.lower(), len(shape)))
+
+    def checkDataShape(self, shape):
+        self._requireRank(shape, "Data")
 
     def checkGradShape(self, shape):
-        if self.axes is not None and len(shape) != len(self.axes):
-            raise ModuleError("Grad dimension needs to be %d, (grad has %d)" % (len(self.axes), len(shape)))
+        self._requireRank(shape, "Grad")
 
     def dataShapeFrom(self, shape):
         return tuple(shape[axis] for axis in self.axes)

@@ -28,6 +28,11 @@ MODE_AVG_WITH_PAD = "avgWithPad"
 MODE_AVG_NO_PAD = "avgNoPad"
 
 
+def _useChannelsLast(dtype):
+    from puzzlelib_tpu.ops.conv import _useChannelsLast as ucl
+    return ucl(dtype)
+
+
 def _window(x, size, stride, pad):
     nd = x.ndim - 2
     dims = (1, 1) + tuple(size)
@@ -58,13 +63,59 @@ def _poolCore(x, size, stride, pad, mode):
     return (summed / counts).astype(x.dtype)
 
 
+def _poolCoreNhwc(x, size, stride, pad, mode):
+    """2d pooling over the middle axes of an NHWC tensor — the layout the
+    sub-f32 conv path already runs in (ops.conv layout policy), so inside a
+    fused step the conv→pool boundary transposes cancel instead of paying a
+    ~10 ms NCHW↔NHWC relayout per 200 MB activation."""
+    dims = (1, ) + tuple(size) + (1, )
+    strides = (1, ) + tuple(stride) + (1, )
+    padding = ((0, 0), ) + tuple((p, p) for p in pad) + ((0, 0), )
+
+    if mode == MODE_MAX:
+        isFloat = jnp.issubdtype(x.dtype, jnp.floating)
+        init = np.array(-np.inf if isFloat else np.iinfo(x.dtype).min, x.dtype)
+        return lax.reduce_window(x, init, lax.max, dims, strides, padding)
+
+    summed = lax.reduce_window(
+        x.astype(jnp.float32), np.float32(0), lax.add, dims, strides, padding
+    )
+
+    if mode == MODE_AVG_WITH_PAD:
+        return (summed / float(np.prod(size))).astype(x.dtype)
+
+    ones = jnp.ones(x.shape[1:3], jnp.float32)[None, :, :, None]
+    counts = lax.reduce_window(ones, np.float32(0), lax.add, dims, strides, padding)
+    return (summed / counts).astype(x.dtype)
+
+
+def _nhwcEligible(x, size):
+    return x.ndim == 4 and len(size) == 2 and _useChannelsLast(x.dtype)
+
+
 @partial(jax.jit, static_argnames=("size", "stride", "pad", "mode"))
 def poolNd(x, size, stride, pad, mode):
+    if _nhwcEligible(x, size):
+        out = _poolCoreNhwc(jnp.transpose(x, (0, 2, 3, 1)), size, stride, pad, mode)
+        return jnp.transpose(out, (0, 3, 1, 2))
+
     return _poolCore(x, size, stride, pad, mode)
 
 
 @partial(jax.jit, static_argnames=("size", "stride", "pad", "mode"))
 def poolNdBackward(grad, x, size, stride, pad, mode):
+    # the backward is the VJP of the forward in BOTH layouts: a fused-block
+    # ablation (tools/fusedblock_probe.py, 2026-08-19) measured the
+    # select-and-scatter lowering at +550 us fwd+bwd for (32,64,112,112)
+    # inside a traced step, while a reshape+cumsum "first-winner" rewrite ran
+    # 6x slower (+3288 us) - the scatter only looks slow in eager dispatch
+    if _nhwcEligible(x, size):
+        xl = jnp.transpose(x, (0, 2, 3, 1))
+        gl = jnp.transpose(grad, (0, 2, 3, 1))
+
+        _, vjp = jax.vjp(lambda xx: _poolCoreNhwc(xx, size, stride, pad, mode), xl)
+        return jnp.transpose(vjp(gl)[0], (0, 3, 1, 2))
+
     _, vjp = jax.vjp(lambda xx: _poolCore(xx, size, stride, pad, mode), x)
     return vjp(grad)[0]
 

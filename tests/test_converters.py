@@ -255,3 +255,33 @@ def testRnnWeightLayoutConversion():
             nOffset, nShape = desc.layout[layer][name]
             got = native[nOffset:nOffset + count].reshape(nShape)
             assert np.array_equal(got, expect), (mode, layer, name)
+
+
+def testEngineMany(tmp_path):
+    """Engine.many(K stacked batches) in one dispatch == K eager calls."""
+    import numpy as np
+    from puzzlelib_tpu.backend import gpuarray
+    from puzzlelib_tpu.containers import Sequential
+    from puzzlelib_tpu.modules import Linear, Activation, relu
+    from puzzlelib_tpu.converter.engine import buildEngine, Engine
+
+    np.random.seed(20)
+    net = Sequential(name="manynet")
+    net.append(Linear(6, 12)).append(Activation(relu)).append(Linear(12, 4))
+
+    buildEngine(net, (2, 6), str(tmp_path), returnEngine=False)
+    engine = Engine(str(tmp_path / "manynet.float32.engine"))
+
+    stacked = np.random.randn(5, 2, 6).astype(np.float32)
+
+    grouped = engine.many(gpuarray.to_gpu(stacked)).get()
+    assert grouped.shape == (5, 2, 4)
+
+    for i in range(5):
+        single = engine(gpuarray.to_gpu(stacked[i])).get()
+        assert np.allclose(grouped[i], single, atol=1e-5)
+        engine.reset()
+
+    # steps= runs a prefix of the stack
+    prefix = engine.many(gpuarray.to_gpu(stacked), steps=3).get()
+    assert prefix.shape == (3, 2, 4) and np.allclose(prefix, grouped[:3], atol=1e-6)

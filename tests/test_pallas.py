@@ -228,6 +228,35 @@ def testWinogradFilterGradInterpret():
         assert np.abs(np.asarray(dw) - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
 
 
+def testWinogradFilterGradMultiBlockInterpret():
+    """Explicit bi forcing nBlocks >= 2: the multi-block accumulation path
+    (the production geometry, e.g. th=14 -> bi=8 at (32,512,28,28)) must
+    agree with the float64 host oracle — the default interpret-mode shapes
+    pick nBlocks=1 and never reach it."""
+    from puzzlelib_tpu.ops.pallas import winograd
+
+    np.random.seed(18)
+
+    n, c, h, w, co, p = 1, 128, 12, 8, 128, 1
+    oh, ow = h + 2 * p - 2, w + 2 * p - 2      # oh 12 -> th 6; bi=2 -> 3 blocks
+
+    x = jnp.asarray(np.random.randn(n, h, w, c), jnp.float32)
+    dy = jnp.asarray(np.random.randn(n, oh, ow, co) * 0.1, jnp.float32)
+
+    dw = winograd.filterGradNHWC(x, dy, (p, p), bi=2, interpret=True)
+
+    xn = np.pad(np.asarray(x, np.float64), ((0, 0), (p, p), (p, p), (0, 0)))
+    dyn = np.asarray(dy, np.float64)
+
+    ref = np.zeros((co, c, 3, 3))
+    for i in range(3):
+        for j in range(3):
+            ref[:, :, i, j] = np.einsum(
+                "nhwc,nhwo->oc", xn[:, i:i + oh, j:j + ow, :], dyn)
+
+    assert np.abs(np.asarray(dw) - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
+
+
 def testWinogradDataGradInterpret():
     """Rotated-filter bwd-data vs a float64 host oracle."""
     from puzzlelib_tpu.ops.pallas import winograd

@@ -95,7 +95,9 @@ def measureFusedGroups(buildFn, inshape, batch, ksteps, groups=5, iters=4):
 
     net = buildFn()
     optimizer = MomentumSGD(learnRate=0.01, momRate=0.9)
-    optimizer.setupOn(net, useGlobalState=True)
+    # per-var state: the flat SharedArray costs per-step weight relayouts
+    # under XLA (measured 2.2x the VGG-16 step; see docs/benchmarks.md)
+    optimizer.setupOn(net, useGlobalState=False)
 
     step = FusedStep(net, CrossEntropy(), optimizer)
     dataDev, labelsDev = gpuarray.to_gpu(data), gpuarray.to_gpu(labels)
@@ -157,7 +159,7 @@ def main():
     # -- eager (reference-style per-op dispatch) baseline --------------------
     netE = buildNet()
     optE = MomentumSGD(learnRate=0.01, momRate=0.9)
-    optE.setupOn(netE, useGlobalState=True)
+    optE.setupOn(netE, useGlobalState=False)
     costE = CrossEntropy()
 
     dataDev1 = gpuarray.to_gpu(data[:batch])

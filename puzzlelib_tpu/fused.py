@@ -254,6 +254,22 @@ class FusedStep:
         self.cost = cost
         self.optimizer = optimizer
 
+        if getattr(optimizer, "globalState", False):
+            # the SharedArray flat buffer (reference parity for the CUDA
+            # world's single-kernel update + IPC allreduce) is hostile to XLA
+            # layout assignment: every step each weight is sliced from the
+            # flat {canonical} buffer, re-laid-out for its conv ({0,1,3,2}
+            # vs {3,2,1,0} + tiling mismatch), and packed back - profiled at
+            # ~37 ms/step on VGG-16 bf16 b32 (68.4 -> 31.5 ms with per-var
+            # state, 2026-08-19 trace). Per-var state fuses the update into
+            # each param's own layout for free.
+            import logging
+            logging.getLogger("puzzlelib_tpu").warning(
+                "FusedStep: optimizer uses fused global state (SharedArray); "
+                "on TPU this forces per-step weight relayouts (~2x VGG-16 "
+                "step cost). Prefer setupOn(..., useGlobalState=False) with "
+                "FusedStep.")
+
         self.buffers = collectStateBuffers(module, cost, optimizer)
 
         jitKwargs = dict(donate_argnums=(0, ) if donate else ())

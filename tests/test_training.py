@@ -286,3 +286,42 @@ def testFusedTrainerStepsPerDispatch():
 
     assert errs[-1] < errs[0]
     assert opt.t == 6 * 5, opt.t
+
+
+def testFusedLocalStateMatchesGlobalState():
+    """Per-var optimizer state (the TPU-preferred fused mode: no SharedArray
+    flat buffer, no per-step weight relayouts) must be numerically identical
+    to the fused-global-state mode."""
+    import numpy as np
+    from puzzlelib_tpu.backend import gpuarray
+    from puzzlelib_tpu.containers import Sequential
+    from puzzlelib_tpu.modules import Conv2D, Activation, relu, Flatten, Linear
+    from puzzlelib_tpu.cost import CrossEntropy
+    from puzzlelib_tpu.optimizers import MomentumSGD
+    from puzzlelib_tpu.fused import FusedStep
+
+    def build():
+        np.random.seed(33)
+        net = Sequential()
+        net.append(Conv2D(1, 4, 3)).append(Activation(relu))
+        net.append(Flatten()).append(Linear(4 * 6 * 6, 10))
+        return net
+
+    np.random.seed(34)
+    data = np.random.randn(8, 1, 8, 8).astype(np.float32)
+    labels = np.random.randint(0, 10, size=(8, )).astype(np.int32)
+
+    results = []
+    for useGlobal in (True, False):
+        net = build()
+        opt = MomentumSGD(learnRate=0.05, momRate=0.9)
+        opt.setupOn(net, useGlobalState=useGlobal)
+
+        step = FusedStep(net, CrossEntropy(), opt)
+        for _ in range(4):
+            step(data, labels)
+
+        results.append((net[0].W.get(), net[3].W.get()))
+
+    for a, b in zip(*results):
+        assert np.allclose(a, b, atol=1e-6), "local/global fused state diverge"

@@ -81,8 +81,8 @@ def algoChoice():
 
 def main():
     sections = sys.argv[1:] or ["fg", "convspeed", "fg11", "gemm", "int8",
-                                "algochoice", "attn", "nets", "profiles",
-                                "verify", "bench"]
+                                "algochoice", "attn", "pallas-assert", "nets",
+                                "profiles", "verify", "bench"]
 
     # probe first: a wedged relay should fail fast, not eat the window
     import numpy as np
@@ -115,6 +115,11 @@ def main():
             runSection("resnet50-many", lambda: capture(
                 ["-m", "puzzlelib_tpu.benchmarks.netspeed", "--net", "resnet50",
                  "--batch", "32", "--dtype", "bfloat16", "--many", "4"]))
+        elif name == "pallas-assert":
+            # every claimed-Pallas config must compile AND run on-chip and
+            # match XLA numerically; a Mosaic regression fails the section
+            # loudly instead of silently rerouting to the fallback
+            runSection("pallas-assert", lambda: capture(["tools/pallas_assert.py"]))
         elif name == "verify":
             # end-to-end public-API drive ON THE CHIP (the /verify TPU leg):
             # Trainer loss decrease, Validator, Calculator, checkpoint

@@ -45,9 +45,17 @@ class Pipeline(Sequential):
             [[buf.jax for buf in collectParamBuffers(stage)] for stage in self.graph])
 
     def _stageApply(self):
-        from puzzlelib_tpu.fused import functionalize
+        # cached: the jitted schedule (parallel.pipeline._jitCache) keys on
+        # the apply callable's identity, so a fresh closure per call would
+        # force a retrace+recompile every training step
+        apply = getattr(self, "_applyCache", None)
 
-        apply, _ = functionalize(self.graph[0])
+        if apply is None or self._applyCacheLen != len(self.graph):
+            from puzzlelib_tpu.fused import functionalize
+
+            apply, _ = functionalize(self.graph[0])
+            self._applyCache, self._applyCacheLen = apply, len(self.graph)
+
         return apply
 
     def distributedForward(self, x, mesh, stageAxis="stage", microbatches=None):
@@ -101,10 +109,16 @@ class Pipeline(Sequential):
 
     def foldStageGrads(self, stackedGrads, scale=1.0, momentum=0.0):
         """Scatter stacked stage gradients back into each stage Module's vars
-        (the bridge from the functional schedule to the optimizer protocol)."""
+        (the bridge from the functional schedule to the optimizer protocol).
+
+        ``stackedGrads`` are jax loss-gradients (``value_and_grad`` output,
+        the ASCENT direction); the Module protocol stores descent-aligned
+        gradients that optimizers ADD (the reference's cost kernels emit the
+        negated loss gradient, e.g. /root/reference/Cost/MSE.py's
+        ``(target-pred)/N``), so the fold negates."""
         for index, stage in enumerate(self.graph):
             for var, g in zip(self._stageVars(stage),
                               [jaxG[index] for jaxG in stackedGrads]):
                 if var.grad is not None:
-                    var.grad._write(scale * g.reshape(var.grad.shape)
+                    var.grad._write(-scale * g.reshape(var.grad.shape)
                                     + momentum * var.grad.jax)

@@ -134,6 +134,11 @@ def functionalize(module):
     originals = [buf.jax for buf in buffers]
 
     def apply(params, x):
+        # snapshot at CALL time, not closure creation: a jit retrace after
+        # the live module has trained would otherwise restore stale
+        # creation-time weights and silently undo every update so far
+        saved = [buf.jax for buf in buffers]
+
         for buf, arr in zip(buffers, params):
             buf._write(arr)
 
@@ -144,7 +149,7 @@ def functionalize(module):
             # restore the concrete pre-trace weights: without this a
             # jit-traced apply leaves tracers in the live module's buffers
             # and any later eager use of the net dereferences a dead trace
-            for buf, arr in zip(buffers, originals):
+            for buf, arr in zip(buffers, saved):
                 buf._write(arr)
             module.reset()
 

@@ -104,20 +104,16 @@ def _schedule(blockFn, stageParams, microbatches, nStages, stageAxis):
     return lax.psum(outs, stageAxis)
 
 
-def pipelineForward(blockFn, stackedParams, x, mesh, stageAxis="stage", microbatches=4):
-    """Forward through ``nStages`` pipelined stages; returns (B, ...) output.
-
-    ``stackedParams`` leaves have leading dim nStages (sharded over the stage
-    axis); ``x`` is the full (replicated) batch, split into ``microbatches``.
-    """
-    nStages = mesh.shape[stageAxis]
-
+def _splitMicro(x, microbatches):
     batch = x.shape[0]
     if batch % microbatches != 0:
         raise ValueError("Batch %d not divisible into %d microbatches" % (batch, microbatches))
 
-    mb = x.reshape((microbatches, batch // microbatches) + x.shape[1:])
+    return x.reshape((microbatches, batch // microbatches) + x.shape[1:])
 
+
+def _rawForward(blockFn, stackedParams, mb, mesh, stageAxis):
+    nStages = mesh.shape[stageAxis]
     paramSpec = jax.tree.map(lambda _: P(stageAxis), stackedParams)
 
     fn = shard_map(
@@ -128,7 +124,48 @@ def pipelineForward(blockFn, stackedParams, x, mesh, stageAxis="stage", microbat
     )
 
     outs = fn(stackedParams, mb)
-    return outs.reshape((batch, ) + outs.shape[2:])
+    return outs.reshape((outs.shape[0] * outs.shape[1], ) + outs.shape[2:])
+
+
+# whole-schedule executables, keyed on (blockFn, lossFn, mesh, stageAxis): the
+# schedule is one jitted XLA program per signature, so a training loop pays
+# trace/compile once, not per step (shapes re-key via jit's own cache)
+_jitCache = {}
+
+
+def _jittedFor(kind, blockFn, lossFn, mesh, stageAxis):
+    key = (kind, id(blockFn), id(lossFn), mesh, stageAxis)
+    fn = _jitCache.get(key)
+
+    if fn is None:
+        if kind == "forward":
+            def fn(stackedParams, mb):
+                return _rawForward(blockFn, stackedParams, mb, mesh, stageAxis)
+        else:
+            def lossOf(params, mb, target):
+                out = _rawForward(blockFn, params, mb, mesh, stageAxis)
+                return lossFn(out, target)
+
+            def fn(stackedParams, mb, target):
+                return jax.value_and_grad(lossOf)(stackedParams, mb, target)
+
+        fn = jax.jit(fn)
+        # keep id()-keyed entries alive only while their callables are:
+        # pin the callables on the cache entry
+        _jitCache[key] = fn
+        fn._pins = (blockFn, lossFn)
+
+    return fn
+
+
+def pipelineForward(blockFn, stackedParams, x, mesh, stageAxis="stage", microbatches=4):
+    """Forward through ``nStages`` pipelined stages; returns (B, ...) output.
+
+    ``stackedParams`` leaves have leading dim nStages (sharded over the stage
+    axis); ``x`` is the full (replicated) batch, split into ``microbatches``.
+    """
+    mb = _splitMicro(x, microbatches)
+    return _jittedFor("forward", blockFn, None, mesh, stageAxis)(stackedParams, mb)
 
 
 def pipelineGrad(blockFn, lossFn, stackedParams, x, target, mesh, stageAxis="stage", microbatches=4):
@@ -138,8 +175,5 @@ def pipelineGrad(blockFn, lossFn, stackedParams, x, target, mesh, stageAxis="sta
     exactly the reverse pipeline schedule; grads keep the stacked layout, so
     an optimizer update stays stage-sharded.
     """
-    def lossOf(params):
-        out = pipelineForward(blockFn, params, x, mesh, stageAxis, microbatches)
-        return lossFn(out, target)
-
-    return jax.value_and_grad(lossOf)(stackedParams)
+    mb = _splitMicro(x, microbatches)
+    return _jittedFor("grad", blockFn, lossFn, mesh, stageAxis)(stackedParams, mb, target)

@@ -192,3 +192,64 @@ def testPipelineDistributedGrad():
     pipe.foldStageGrads(grads)
     firstVar = pipe._stageVars(pipe.graph[0])[0]
     assert np.abs(firstVar.grad.get()).sum() > 0.0
+
+
+def testPipelineFoldedTrainingMatchesEagerModulePath():
+    """distributedGrad + foldStageGrads + Module-protocol optimizer must
+    produce the SAME weights as the eager Sequential forward/backward/update
+    on identical data — the full user-facing mesh training loop, numerically
+    verified (not just 'grads are nonzero')."""
+    from jax.sharding import Mesh
+    from puzzlelib_tpu.containers import Pipeline
+    from puzzlelib_tpu.cost import MSE
+    from puzzlelib_tpu.optimizers import MomentumSGD
+
+    devices = jax.devices()
+    if len(devices) < 4:
+        pytest.skip("needs >= 4 devices")
+
+    def build():
+        pipe = Pipeline(name="pipe")
+        for s in range(4):
+            pipe.append(_makeExpert(500 + s))
+        return pipe
+
+    np.random.seed(11)
+    x = np.random.randn(8, 8).astype(np.float32)
+    target = np.random.randn(8, 8).astype(np.float32)
+
+    # mesh path
+    mesh = Mesh(np.array(devices[:4]), ("stage", ))
+    meshPipe = build()
+    meshOpt = MomentumSGD(learnRate=0.1, momRate=0.9)
+    meshOpt.setupOn(meshPipe, useGlobalState=False)
+
+    def lossFn(out, tgt):
+        # MSE cost semantics: error = dot(diff, diff) / (2 N)
+        return 0.5 * jnp.mean((out - tgt) ** 2)
+
+    for _ in range(3):
+        _, grads = meshPipe.distributedGrad(lossFn, jnp.asarray(x), jnp.asarray(target),
+                                            mesh, microbatches=4)
+        meshPipe.zeroGradParams()
+        meshPipe.foldStageGrads(grads)
+        meshOpt.update()
+
+    # eager Module path: same math (MSE cost grad = 2/N * (out - tgt))
+    eagerPipe = build()
+    eagerOpt = MomentumSGD(learnRate=0.1, momRate=0.9)
+    eagerOpt.setupOn(eagerPipe, useGlobalState=False)
+    cost = MSE()
+
+    for _ in range(3):
+        out = eagerPipe(gpuarray.to_gpu(x))
+        grad = cost(out, gpuarray.to_gpu(target), queryError=False)
+        eagerPipe.zeroGradParams()
+        eagerPipe.backward(grad, updGrad=False)
+        eagerOpt.update()
+        eagerPipe.reset()
+
+    from puzzlelib_tpu.fused import collectParamBuffers
+    for a, b in zip(collectParamBuffers(meshPipe), collectParamBuffers(eagerPipe)):
+        assert np.allclose(a.get(), b.get(), atol=1e-5), \
+            "mesh-trained weights diverge from eager Module path"

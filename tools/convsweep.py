@@ -1,0 +1,174 @@
+#!/usr/bin/env python3
+"""Earn-or-trim sweep for the Pallas conv kernel inventory.
+
+Races every conv kernel (XLA NHWC direct, fused Winograd F(2x2,3x3),
+batch-in-lanes HCWN, (H,C)-sublane conv3) on the shapes where each one's
+structure says it could win:
+
+  - Winograd: small-batch stride-1 3x3 (2.25x FLOP cut matters most when the
+    MXU isn't saturated) + the (32,128,56,56) fwd race that measured 2% ahead
+    in the round-3 campaign.
+  - HCWN: batch >= 96 (the kernel keeps images in the 128 lanes) with
+    CO < 128 and large kernels (the reference ConvSpeed shape family,
+    /root/reference/Cuda/Benchmarks/ConvSpeed.py).
+  - conv3: ResNet/VGG body shapes at train batches 16-32 (its design point:
+    HCWN wastes 3/4 of the lanes there).
+
+Methodology = the measured-dispatch harness (ops/conv.py:measureAlgoChoice):
+lax.scan chains (O(1) program size, no cross-rep CSE), array-delta
+perturbations via traced operands, min of k fenced calls, rep differencing
+implicit in the chain.  Ties go to XLA (< 0.97x to win).
+
+Run:  python tools/convsweep.py            # full sweep
+      python tools/convsweep.py --quick    # fewer shapes
+"""
+
+import argparse
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from puzzlelib_tpu.backend.device import ensureInit
+
+
+REPS, K = 10, 3
+
+
+def chain(fn, reps=REPS):
+    @jax.jit
+    def chained(*args):
+        def body(acc, i):
+            return acc + jnp.max(fn(i, *args).astype(jnp.float32)), None
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(reps))
+        return acc
+    return chained
+
+
+def minTime(f, args, k=K):
+    jax.block_until_ready(f(*args))
+    np.asarray(f(*args).ravel()[:1])
+    best = float("inf")
+    for _ in range(k):
+        t = time.perf_counter()
+        np.asarray(f(*args).ravel()[:1])
+        best = min(best, time.perf_counter() - t)
+    return best
+
+
+def race(datashape, Wshape, pad):
+    """Race all applicable kernels at one signature; returns {name: s/call}."""
+    from puzzlelib_tpu.ops.pallas import winograd as pwino
+    from puzzlelib_tpu.ops.pallas import conv as pconv
+    from puzzlelib_tpu.ops.pallas import conv3 as pconv3
+
+    dtype = jnp.bfloat16
+    stride, dilation, groups = (1, 1), (1, 1), 1
+    n, c, h, w = datashape
+
+    key = jax.random.key(0)
+    xN = (jax.random.normal(key, (n, h, w, c), jnp.float32) * 0.3).astype(dtype)
+    wz = jnp.zeros(Wshape, dtype)
+    dl = (jax.random.normal(key, (REPS, ) + Wshape, jnp.float32) * 0.01).astype(dtype)
+
+    def xlaF(i, x, wt, d):
+        out = lax.conv_general_dilated(
+            x, (wt + d[i]).transpose(2, 3, 1, 0), stride,
+            [(p, p) for p in pad],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return out.astype(x.dtype)
+
+    entries = [("xla", xlaF, (xN, wz, dl))]
+
+    if pwino.applicable(datashape, Wshape, stride, pad, dilation, groups, dtype) \
+            and pwino.probeCompile(datashape, Wshape, tuple(pad), dtype):
+        entries.append(("winograd",
+                        lambda i, x, wt, d: pwino.conv2dNHWC(x, wt + d[i], pad),
+                        (xN, wz, dl)))
+
+    xC = jnp.transpose(xN, (0, 3, 1, 2))
+
+    if pconv.applicable(datashape, Wshape, stride, pad, dilation, groups, dtype) \
+            and pconv.probeCompile(datashape, Wshape, tuple(pad), dtype):
+        entries.append(("pallas",
+                        lambda i, x, wt, d: pconv.conv2d(x, wt + d[i], pad),
+                        (xC, wz, dl)))
+
+    if pconv3.applicable(datashape, Wshape, stride, pad, dilation, groups, dtype):
+        entries.append(("conv3",
+                        lambda i, x, wt, d: pconv3.conv2d(x, wt + d[i], pad),
+                        (xC, wz, dl)))
+
+    times = {}
+    for name, fn, args in entries:
+        try:
+            times[name] = minTime(chain(fn), args) / REPS
+        except Exception as exc:
+            times[name] = None
+            print("    %-8s FAILED: %s" % (name, str(exc)[:90]))
+
+    return times
+
+
+SHAPES = [
+    # --- Winograd candidates: small batch, stride-1 3x3 ---
+    ((1, 128, 56, 56), (128, 128, 3, 3), (1, 1)),
+    ((1, 256, 28, 28), (256, 256, 3, 3), (1, 1)),
+    ((1, 512, 14, 14), (512, 512, 3, 3), (1, 1)),
+    ((8, 128, 56, 56), (128, 128, 3, 3), (1, 1)),
+    ((8, 256, 28, 28), (256, 256, 3, 3), (1, 1)),
+    ((8, 512, 14, 14), (512, 512, 3, 3), (1, 1)),
+    # the round-3 near-win (winograd measured 2% ahead, tie went to XLA)
+    ((32, 128, 56, 56), (128, 128, 3, 3), (1, 1)),
+    # --- HCWN candidates: batch fills the lanes, CO < 128, big kernels ---
+    ((128, 32, 64, 64), (64, 32, 11, 11), (0, 0)),     # reference ConvSpeed
+    ((128, 64, 56, 56), (64, 64, 7, 7), (3, 3)),
+    ((128, 16, 96, 96), (32, 16, 11, 11), (0, 0)),
+    # --- conv3 candidates: train-batch body shapes ---
+    ((16, 128, 112, 112), (128, 128, 3, 3), (1, 1)),
+    ((32, 128, 56, 56), (128, 128, 3, 3), (1, 1)),
+    ((32, 256, 28, 28), (256, 256, 3, 3), (1, 1)),
+    ((32, 512, 14, 14), (512, 512, 3, 3), (1, 1)),
+    # small-batch inference at body shapes (serving: Engine batch 1-8)
+    ((4, 256, 56, 56), (256, 256, 3, 3), (1, 1)),
+]
+
+QUICK = SHAPES[:4] + SHAPES[7:9] + SHAPES[11:13]
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    args = parser.parse_args()
+
+    ensureInit()
+    assert jax.default_backend() != "cpu", "sweep needs the TPU"
+
+    wins = {}
+    for datashape, Wshape, pad in (QUICK if args.quick else SHAPES):
+        print("x%s W%s pad%s" % (datashape, Wshape, pad), flush=True)
+        times = race(datashape, Wshape, pad)
+
+        tx = times.get("xla")
+        for name, t in sorted(times.items(), key=lambda kv: kv[1] or 1e9):
+            if t is None:
+                continue
+            mark = ""
+            if tx and name != "xla" and t < tx * 0.97:
+                mark = "  << WINS (%.2fx)" % (tx / t)
+                wins.setdefault(name, []).append((datashape, Wshape, tx / t))
+            print("    %-8s %8.3f ms%s" % (name, t * 1e3, mark), flush=True)
+
+    print("\n=== summary ===")
+    if not wins:
+        print("no kernel beat XLA by >3% anywhere in the sweep")
+    for name, entries in wins.items():
+        for datashape, Wshape, ratio in entries:
+            print("%-8s wins at x%s W%s: %.2fx" % (name, datashape, Wshape, ratio))
+
+
+if __name__ == "__main__":
+    main()

@@ -74,6 +74,13 @@ attentionAlgo = os.environ.get("PUZZLE_ATTENTION_ALGO", "auto")
 # channels-last lowering; XLA otherwise), "xla", or "pallas" (force).
 convAlgo = os.environ.get("PUZZLE_CONV_ALGO", "auto")
 
+# Layout of conv weight state INSIDE the fused train step's carry: "hwio"
+# keeps W / dW / momentum channels-last between steps so the weight update
+# runs in the bwd-filter conv's natural CO-last layout (the boundary state
+# and every user-visible buffer stay logical (co, c, *k)); "oihw" disables
+# the rewrite.  See docs/kernels.md "Whole-net wall analysis".
+fusedConvLayout = os.environ.get("PUZZLE_FUSED_CONV_LAYOUT", "oihw")
+
 
 def isCPUBased(bnd):
     return bnd == Backend.cpu

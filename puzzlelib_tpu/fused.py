@@ -275,7 +275,18 @@ class FusedStep:
                 "step cost). Prefer setupOn(..., useGlobalState=False) with "
                 "FusedStep.")
 
-        self.buffers = collectStateBuffers(module, cost, optimizer)
+        self.buffers, bufferMeta = collectStateBuffers(module, cost, optimizer, withMeta=True)
+
+        # conv weight slots (W, dW, optimizer state tracking W) ride the
+        # step carry channels-last: bind/return permutes sit adjacent to the
+        # conv ops' own layout transposes and cancel, so the weight update
+        # fuses in the bwd-filter conv's natural CO-last layout instead of
+        # pulling a {co,c,kh,kw}-tiled relayout into the momentum pass
+        # (docs/kernels.md "Whole-net wall analysis": ~8 ms of the VGG-16
+        # bf16 b32 step).  Pure permutation - boundary state, shardings and
+        # user-visible buffers stay logical (co, c, *k).
+        from puzzlelib_tpu import config as Config
+        self._carry = self._carryPerms(bufferMeta) if Config.fusedConvLayout == "hwio" else {}
 
         jitKwargs = dict(donate_argnums=(0, ) if donate else ())
 
@@ -295,7 +306,7 @@ class FusedStep:
 
         self.mesh = mesh
         self._dpSize = mesh.shape[dataAxis] if mesh is not None else 1
-        self._jitted = jax.jit(self._traceStep, **jitKwargs)
+        self._jitted = jax.jit(self._stepEntry, **jitKwargs)
 
         manyKwargs = dict(jitKwargs)
         if mesh is not None:
@@ -312,13 +323,52 @@ class FusedStep:
             # - typically only the leftover batch of an epoch
             raggedIn = (jitKwargs["in_shardings"][0], None, repl, repl, repl, repl)
             self._jittedRagged = jax.jit(
-                self._traceStep, **{**jitKwargs, "in_shardings": raggedIn})
+                self._stepEntry, **{**jitKwargs, "in_shardings": raggedIn})
             self._jittedManyRagged = jax.jit(
                 self._traceMany, **{**manyKwargs, "in_shardings": raggedIn})
 
         self._jittedMany = jax.jit(self._traceMany, **manyKwargs)
         self._seed = int(np.random.randint(1 << 31))
         self._calls = 0
+
+    def _carryPerms(self, meta):
+        """Slot -> (toCarry, fromCarry) permutations for conv weight state.
+
+        Marks ConvND var buffers (W data and grad share owner/name) and any
+        optimizer state entity whose tracked Variable's data root is a marked
+        weight.  Numerically this is a no-op by construction: every marked
+        array is permuted into the carry and permuted back at bind time."""
+        from puzzlelib_tpu.modules.convnd import ConvND
+        from puzzlelib_tpu.variable import Variable
+
+        wRoots = {}                               # id(W root) -> W shape
+        perms = {}
+
+        def mark(i, ndim):
+            toCarry = tuple(range(2, ndim)) + (1, 0)          # OI*sp -> *sp,I,O
+            fromCarry = (ndim - 1, ndim - 2) + tuple(range(ndim - 2))
+            perms[i] = (toCarry, fromCarry)
+
+        for i, (buf, (owner, name)) in enumerate(zip(self.buffers, meta)):
+            if isinstance(owner, ConvND) and name == "W" and buf.ndim >= 3:
+                wRoots[id(buf)] = buf.shape       # data and grad both land here
+                mark(i, buf.ndim)
+
+        for i, (buf, (owner, name)) in enumerate(zip(self.buffers, meta)):
+            if isinstance(owner, Variable):       # an optimizer state slot
+                root = _rootBuffer(owner.data)
+                if wRoots.get(id(root)) == buf.shape:
+                    mark(i, buf.ndim)
+
+        return perms
+
+    def _toCarry(self, state):
+        return [jnp.transpose(a, self._carry[i][0]) if i in self._carry else a
+                for i, a in enumerate(state)]
+
+    def _fromCarry(self, state):
+        return [jnp.transpose(a, self._carry[i][1]) if i in self._carry else a
+                for i, a in enumerate(state)]
 
     def _invoke(self, fn, *args):
         # mesh steps trace with Pallas dispatch disabled: the GSPMD
@@ -343,9 +393,16 @@ class FusedStep:
 
         return hyper
 
+    def _stepEntry(self, state, hyper, t, key, data, target):
+        """Boundary single step: logical-layout state in and out; the carry
+        conversion is inside the program so XLA folds it."""
+        return self._fromCarry(self._traceStep(self._toCarry(state), hyper, t, key, data, target))
+
     def _traceStep(self, state, hyper, t, key, data, target):
-        # substitute traced buffers into the live wrappers
-        for buf, arr in zip(self.buffers, state):
+        """One train step over CARRY-domain state (conv weight slots
+        channels-last when ``Config.fusedConvLayout == "hwio"``)."""
+        # substitute traced buffers into the live wrappers (logical layout)
+        for buf, arr in zip(self.buffers, self._fromCarry(state)):
             buf._write(arr)
 
         # optimizer hyper-parameters become traced values for the duration
@@ -371,7 +428,7 @@ class FusedStep:
             self.cost.batchsize, self.cost.numOfSamples = costCounters
             self.optimizer.t = optT
 
-        return [buf.jax for buf in self.buffers]
+        return self._toCarry([buf.jax for buf in self.buffers])
 
     def _traceMany(self, state, hyper, t0, key, dataK, targetK):
         """K train steps inside ONE program: lax.scan over the leading step
@@ -395,9 +452,10 @@ class FusedStep:
 
             return (st, errSum), None
 
-        carry0 = (list(state), jnp.zeros((), jnp.float32))
+        carry0 = (self._toCarry(list(state)), jnp.zeros((), jnp.float32))
         (state, errSum), _ = jax.lax.scan(body, carry0, (dataK, targetK, jnp.arange(dataK.shape[0])))
 
+        state = self._fromCarry(state)
         if devErrSlot is not None:
             state[devErrSlot] = errSum.astype(state[devErrSlot].dtype)
 

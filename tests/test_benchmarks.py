@@ -25,6 +25,12 @@ def testGemmspeedCli():
     assert r.returncode == 0 and "TF/s" in r.stdout, r.stdout + r.stderr
 
 
+def testEnginespeedCli():
+    r = runCli(["puzzlelib_tpu.benchmarks.enginespeed", "--net", "lenet", "--batch", "4",
+                "--dtypes", "float32,int8", "--many", "2", "--iters", "2"])
+    assert r.returncode == 0 and r.stdout.count("img/s") >= 2, r.stdout + r.stderr
+
+
 def testBenchCli():
     env = dict(os.environ, PUZZLE_BACKEND="cpu", JAX_PLATFORMS="cpu",
                BENCH_BATCH="8", BENCH_STEPS="2")

@@ -380,3 +380,58 @@ def testMeshStepHloContainsCollectives():
         seq.reset()
 
     assert "all-reduce" in hlo, "DP grad sync must lower to an all-reduce"
+
+
+def testFusedMeshDataParallelHwioCarry():
+    """GSPMD DP step with the channels-last conv-weight carry: the carry
+    permutes are inside the jitted program, boundary shardings stay logical."""
+    import jax
+    from jax.sharding import Mesh
+
+    from puzzlelib_tpu import config as Config
+    from puzzlelib_tpu.containers import Sequential
+    from puzzlelib_tpu.modules import Conv2D, Activation, relu, Flatten, Linear
+    from puzzlelib_tpu.cost import MSE
+    from puzzlelib_tpu.optimizers import MomentumSGD
+    from puzzlelib_tpu.fused import FusedStep
+
+    ndev = len(jax.devices())
+    mesh = Mesh(np.array(jax.devices()), axis_names=("data", ))
+
+    def build():
+        np.random.seed(9)
+        seq = Sequential()
+        seq.append(Conv2D(2, 4, 3, pad=1))
+        seq.append(Activation(relu))
+        seq.append(Flatten())
+        seq.append(Linear(4 * 6 * 6, 5))
+        return seq
+
+    np.random.seed(2)
+    data = np.random.randn(2 * ndev, 2, 6, 6).astype(np.float32)
+    target = np.random.randn(2 * ndev, 5).astype(np.float32)
+
+    saved = Config.fusedConvLayout
+    Config.fusedConvLayout = "hwio"
+    try:
+        seq = build()
+        opt = MomentumSGD(learnRate=0.05, momRate=0.9)
+        opt.setupOn(seq, useGlobalState=False)
+        step = FusedStep(seq, MSE(), opt, mesh=mesh)
+        assert step._carry, "conv weight slots not marked"
+
+        for _ in range(2):
+            step(data, target)
+        meshW = seq[0].W.get()
+    finally:
+        Config.fusedConvLayout = saved
+
+    seqS = build()
+    optS = MomentumSGD(learnRate=0.05, momRate=0.9)
+    optS.setupOn(seqS, useGlobalState=False)
+    stepS = FusedStep(seqS, MSE(), optS)
+    for _ in range(2):
+        stepS(data, target)
+
+    assert np.allclose(meshW, seqS[0].W.get(), atol=1e-5), \
+        "hwio carry under mesh DP diverges from single-device logical"

@@ -325,3 +325,42 @@ def testFusedLocalStateMatchesGlobalState():
 
     for a, b in zip(*results):
         assert np.allclose(a, b, atol=1e-6), "local/global fused state diverge"
+
+
+def testFusedHwioCarryMatchesLogical():
+    """The channels-last conv-weight carry (Config.fusedConvLayout="hwio") is
+    a pure layout rewrite: single steps and many() must reproduce the logical
+    OIHW path's trajectory, and user-visible buffers stay (co, c, kh, kw)."""
+    from puzzlelib_tpu import config as Config
+    from puzzlelib_tpu.fused import FusedStep
+    from puzzlelib_tpu.optimizers import MomentumSGD
+
+    K, b = 3, 4
+    np.random.seed(40)
+    data = np.random.randn((K + 1) * b, 1, 12, 12).astype(np.float32)
+    target = np.random.randn((K + 1) * b, 10).astype(np.float32)
+
+    def run(layout):
+        saved = Config.fusedConvLayout
+        Config.fusedConvLayout = layout
+        try:
+            np.random.seed(41)
+            net = buildLenet()
+            opt = MomentumSGD(learnRate=0.05, momRate=0.9)
+            opt.setupOn(net, useGlobalState=False)
+            step = FusedStep(net, cost := MSE(), opt)
+
+            step(data[:b], target[:b])                       # single step
+            step.many(data[b:], target[b:], steps=K)         # scan carry
+
+            assert net[0].W.shape == (4, 1, 3, 3), "user-visible layout changed"
+            return net[0].W.get(), net[4].W.get(), cost.getError()
+        finally:
+            Config.fusedConvLayout = saved
+
+    wH, lH, eH = run("hwio")
+    wL, lL, eL = run("oihw")
+
+    assert np.allclose(wH, wL, atol=1e-6), "hwio carry diverged on conv W"
+    assert np.allclose(lH, lL, atol=1e-6), "hwio carry diverged on linear W"
+    assert abs(eH - eL) < 1e-6

@@ -82,7 +82,7 @@ def algoChoice():
 def main():
     sections = sys.argv[1:] or ["fg", "convspeed", "fg11", "gemm", "int8",
                                 "algochoice", "attn", "pallas-assert", "nets",
-                                "profiles", "verify", "bench"]
+                                "engines", "profiles", "verify", "bench"]
 
     # probe first: a wedged relay should fail fast, not eat the window
     import numpy as np
@@ -115,6 +115,15 @@ def main():
             runSection("resnet50-many", lambda: capture(
                 ["-m", "puzzlelib_tpu.benchmarks.netspeed", "--net", "resnet50",
                  "--batch", "32", "--dtype", "bfloat16", "--many", "4"]))
+        elif name == "engines":
+            # serving throughput past the relay dispatch wall: eager vs
+            # Engine.many marginal, f32 + int8 (RTEngine throughput role)
+            runSection("engines-b128", lambda: capture(
+                ["-m", "puzzlelib_tpu.benchmarks.enginespeed", "--net", "nin",
+                 "--batch", "128", "--dtypes", "float32,int8", "--many", "8"]))
+            runSection("engines-b512", lambda: capture(
+                ["-m", "puzzlelib_tpu.benchmarks.enginespeed", "--net", "nin",
+                 "--batch", "512", "--dtypes", "float32,int8", "--many", "4"]))
         elif name == "pallas-assert":
             # every claimed-Pallas config must compile AND run on-chip and
             # match XLA numerically; a Mosaic regression fails the section

@@ -202,9 +202,18 @@ def profileNet(net, data, stepSecs=None, reps=8, iters=2, out=print):
             snapshot = [r.jax for r in roots]
 
             try:
-                cache[sig] = _profileLeaf(mod, x, g, reps, iters)
-            except Exception as exc:
-                cache[sig] = exc
+                # one retry: the relay's remote-compile helper 500s
+                # transiently under load, and a single flaky probe should
+                # not blank the row for the whole run
+                for attempt in (0, 1):
+                    try:
+                        cache[sig] = _profileLeaf(mod, x, g, reps, iters)
+                        break
+                    except Exception as exc:
+                        cache[sig] = exc
+                        for root, saved in zip(roots, snapshot):
+                            root._write(saved)
+                        mod.reset()
             finally:
                 for root, saved in zip(roots, snapshot):
                     root._write(saved)

@@ -90,5 +90,14 @@ def marginalTime(fn, args, reps1=8, reps2=40, k=5, restore=None):
     if restore is not None:
         restore()
 
-    t1, t2 = minTime(f1, args, k), minTime(f2, args, k)
+    # interleave the two chains' samples: the chip's throughput drifts on
+    # a seconds scale, and timing all of chain(reps1) before any of
+    # chain(reps2) lets a slow window land entirely on one side and
+    # corrupt the difference (measured: a 224x224 conv fwd read 10.8 ms
+    # vs its true ~1.5 ms when the windows split unluckily)
+    t1 = t2 = float("inf")
+    for _ in range(k):
+        t1 = min(t1, minTime(f1, args, 1))
+        t2 = min(t2, minTime(f2, args, 1))
+
     return (t2 - t1) / (reps2 - reps1)

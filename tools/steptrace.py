@@ -24,6 +24,7 @@ import glob
 import gzip
 import json
 import os
+import re
 import sys
 import tempfile
 
@@ -46,6 +47,40 @@ def deviceEvents(traceDir):
         if "hlo_category" not in args:
             continue
         yield e["name"], args
+
+
+_SHAPE = re.compile(r"\w+\[([\d,]+)\]")
+
+
+def classify(cat, longName, batch):
+    """(stage, kind) bucket for one HLO op.
+
+    stage: the op's characteristic spatial size — the largest adjacent
+    equal dim pair over the ACTIVATION shapes in the long name (4-d
+    tensors leading with the batch dim; [32,64,224,224] and
+    [32,224,224,64] both give 224).  Ops touching no activation (pure
+    weight/fc work) bucket as "weights/fc".
+    kind: convolution-category ops with no activation-shaped OUTPUT are
+    the fused bwd-filter(+optimizer-update) tuples; other conv ops are
+    fwd/bwd-data; everything else keeps its hlo_category as the role.
+    """
+    def actSpatial(part):
+        best = 0
+        for m in _SHAPE.finditer(part):
+            dims = [int(d) for d in m.group(1).split(",")]
+            if len(dims) == 4 and dims[0] == batch:
+                best = max([best] + [a for a, b in zip(dims[1:], dims[2:])
+                                     if a == b])
+        return best
+
+    stage = actSpatial(longName)
+
+    kind = cat
+    if "convolution" in cat:
+        outPart = longName.split(" fusion(")[0].split(" convolution(")[0]
+        kind = "conv fwd/bwd-data" if actSpatial(outPart) else "bwd-filter+update"
+
+    return (("%dx%d" % (stage, stage)) if stage else "weights/fc"), kind
 
 
 def main():
@@ -102,6 +137,7 @@ def main():
 
     byCat = collections.defaultdict(float)
     byOp = collections.defaultdict(float)
+    byBucket = collections.defaultdict(float)
     longNames, counts = {}, collections.Counter()
     total = 0.0
 
@@ -118,6 +154,11 @@ def main():
         longNames.setdefault(name, a.get("long_name", "")[:140])
         total += dur
 
+        # control-flow wrappers (while/call) cover their body ops' time;
+        # counting them would double-attribute every bucket
+        if cat not in ("while", "conditional", "call"):
+            byBucket[classify(cat, a.get("long_name", ""), args.batch)] += dur
+
     print("net %s batch %d %s, %d steps traced; device total %.1f ms "
           "(%.2f ms/step)" % (args.net, args.batch, args.dtype, k,
                               total / 1e3, total / 1e3 / k))
@@ -125,6 +166,13 @@ def main():
     print("== by hlo_category (per step) ==")
     for cat, dur in sorted(byCat.items(), key=lambda kv: -kv[1]):
         print("  %9.2f ms  %4.1f%%  %s" % (dur / 1e3 / k, dur / total * 100, cat))
+
+    bodyTotal = sum(byBucket.values())
+    print()
+    print("== by (stage, role) — 100%% of non-control-flow device time ==")
+    for (stage, kind), dur in sorted(byBucket.items(), key=lambda kv: -kv[1]):
+        print("  %9.2f ms  %4.1f%%  %-10s %s"
+              % (dur / 1e3 / k, dur / bodyTotal * 100, stage, kind))
 
     print()
     print("== top %d ops (per step) ==" % args.top)

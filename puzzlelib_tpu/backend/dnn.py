@@ -137,25 +137,18 @@ def convNdbenchmark(datashape, Wshape, stride, pad, dilation, groups, transpose=
     """Time the three compiled conv kernels; returns (fwd, bwdFilter, bwdData)
     ConvPerf lists (one entry each: XLA picks the algorithm).
 
-    For Pallas-eligible shapes this also runs the tile autotuner, so
-    ``Module.optimizeForShape`` persists the best (th, owb, r) tiling for the
-    subsequent training steps (the cuDNN-algo-search equivalent,
-    reference: Cuda/GPUBackend.py:371)."""
+    For Pallas-eligible shapes this also races and persists the measured
+    per-shape algo choice for the subsequent training steps (the
+    cuDNN-algo-search equivalent, reference: Cuda/GPUBackend.py:371)."""
     import jax
     from puzzlelib_tpu.backend.device import timeKernel
 
     stride, pad, dilation = _t(stride), _t(pad), _t(dilation)
 
     if not transpose and len(datashape) == 4 and jax.default_backend() != "cpu":
-        import jax.numpy as jnp
-        from puzzlelib_tpu.ops.pallas import conv as _pconv
-
-        if _pconv.applicable(datashape, Wshape, stride, pad, dilation, groups):
-            _pconv.autotune(datashape, Wshape, pad, dtype=jnp.bfloat16)
-
-        # race XLA vs every applicable Pallas kernel (fused Winograd, HCWN
-        # batch-in-lanes; fwd / bwd-data / bwd-filter) and persist the
-        # per-shape dispatch choice - unmeasured shapes stay on XLA
+        # race XLA vs every applicable Pallas kernel (fused Winograd fwd and
+        # transform-domain bwd-filter) and persist the per-shape dispatch
+        # choice - unmeasured shapes stay on XLA
         _conv.measureAlgoChoice(datashape, Wshape, stride, pad, dilation, groups)
 
     x = jax.numpy.zeros(datashape, dtype)

@@ -46,20 +46,20 @@ def chainRate(datashape=(128, 32, 64, 64), Wshape=(64, 32, 11, 11), pad=0,
             a, b + d[i], (1, ) * nd, (pad, ) * nd, (1, ) * nd, 1),
         (x, wgt, deltas), reps1=reps[0], reps2=reps[1])
 
-    pallasRan = opsconv.dispatchStats["pallas"] > before["pallas"]
+    winoRan = opsconv.dispatchStats["winograd"] > before["winograd"]
     print("fwd chain      %.6f secs  %8.2f TFLOP/s (%4.1f%% of bf16 peak)  [%s]"
           % (sec, flops / sec / 1e12, flops / sec / 197e12 * 100,
-             "pallas" if pallasRan else "xla"))
+             "winograd" if winoRan else "xla"))
 
     # the shapes PARITY quotes as Pallas numbers must actually trace Pallas:
     # a silent probe-compile fallback would otherwise report an XLA time
     # under a Pallas label (docs/kernels.md "Dispatch rule")
-    eligible = opsconv.pallasEligible(datashape, Wshape, (1, 1), (pad, pad),
-                                      (1, 1), 1)
-    if eligible and not pallasRan:
+    choice = opsconv._algoChoice.get(("fwd", tuple(datashape), tuple(Wshape),
+                                      (pad, ) * nd))
+    if choice == "winograd" and not winoRan:
         raise AssertionError(
-            "Pallas-eligible ConvSpeed shape fell back to XLA - probe-compile "
-            "failure or dispatch regression (see logged warning)")
+            "winograd-dispatched ConvSpeed shape fell back to XLA - "
+            "probe-compile failure or dispatch regression (see logged warning)")
 
     gradData = (jax.random.normal(kx, (n, cout, outh, outw), jnp.float32) * 0.1).astype(jnp.bfloat16)
     sec = marginalTime(

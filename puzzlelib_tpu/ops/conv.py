@@ -56,7 +56,7 @@ _pallasFailed = set()
 
 # trace-time dispatch tally: lets benchmarks assert the Pallas path actually
 # ran (a silent XLA fallback would otherwise masquerade as a Pallas number)
-dispatchStats = {"pallas": 0, "winograd": 0, "xla": 0,
+dispatchStats = {"winograd": 0, "xla": 0,
                  "winogradFG": 0, "xlaFG": 0}
 
 
@@ -67,13 +67,11 @@ def resetDispatchCaches():
     its latency on every call - but they also pin the slower XLA path for the
     process lifetime.  Call this (e.g. alongside flipping ``Config.convAlgo``)
     to re-probe."""
-    from puzzlelib_tpu.ops.pallas import conv as pconv
     from puzzlelib_tpu.backend import blas as Blas
 
     from puzzlelib_tpu.ops.pallas import winograd as pwino
 
     _pallasFailed.clear()
-    pconv._probeResults.clear()
     pwino._probeResults.clear()
     Blas._pallasGemmBroken = False
 
@@ -171,75 +169,15 @@ def _tryWinograd(x, w, stride, pad, dilation, groups):
         return None
 
 
-def pallasEligible(datashape, Wshape, stride, pad, dilation, groups,
-                   dtype=jnp.bfloat16):
-    """Would ``_tryPallas`` route this signature to the batch-in-lanes kernel
-    (before its probe-compile)?  Exposed so benchmark dispatch assertions
-    share the real rule instead of a copy that can rot out of sync.
-
-    The rule is measurement-gated, exactly like the Winograd path: the
-    kernel runs only where ``measureAlgoChoice`` (via
-    ``Module.optimizeForShape``) recorded it faster than XLA for this very
-    signature, or when ``Config.convAlgo = "pallas"`` forces it.  Honest
-    marginals (tools/remeasure_bench.py, 2026-08) put XLA's NHWC conv at
-    93%/50% of peak at the reference ConvSpeed shape fwd/bwd-data versus
-    84%/45% for the HCWN kernel, so an unmeasured shape defaults to XLA."""
-    from puzzlelib_tpu import config as Config
-
-    algo = getattr(Config, "convAlgo", "auto")
-    if algo == "xla" or _pallasDisabled or jax.default_backend() == "cpu":
-        return False
-
-    if np.dtype(dtype) != np.dtype(jnp.bfloat16):
-        return False
-
-    if algo != "pallas":
-        choice = _algoChoice.get(("fwd", tuple(datashape), tuple(Wshape),
-                                  tuple(pad)))
-        if choice != "pallas":
-            return False
-
-    from puzzlelib_tpu.ops.pallas import conv as pconv
-    return pconv.applicable(tuple(datashape), tuple(Wshape), tuple(stride),
-                            tuple(pad), tuple(dilation), groups, dtype)
-
-
-def _tryPallas(x, w, stride, pad, dilation, groups):
-    """Batch-in-lanes (HCWN) Pallas kernel, dispatched only where the
-    measured per-shape comparison recorded it faster than XLA's NHWC conv
-    (``measureAlgoChoice``; ``Config.convAlgo = "pallas"`` forces it).
-    The cuDNN algo family's IMPLICIT_GEMM role
-    (/root/reference/Cuda/Source/Libs/CuDnn.c:1155-1220).
-    Returns None when not applicable/not chosen."""
-    if w.dtype != jnp.bfloat16 or not pallasEligible(
-            x.shape, w.shape, stride, pad, dilation, groups, x.dtype):
-        return None
-
-    from puzzlelib_tpu.ops.pallas import conv as pconv
-
-    key = (x.shape, w.shape, tuple(pad), str(x.dtype))
-    if key in _pallasFailed:
-        return None
-
-    # probe-compile the kernel for this signature first: Mosaic compiles when
-    # the ENCLOSING jit compiles, so a kernel compile failure would escape
-    # this try/except and crash the caller instead of falling back to XLA
-    if not pconv.probeCompile(x.shape, w.shape, tuple(pad), x.dtype):
-        _pallasFailed.add(key)
-        logger.warning(
-            "Pallas conv probe-compile failed for x%s w%s %s; this shape runs "
-            "on the XLA fallback for the rest of the process "
-            "(ops.conv.resetDispatchCaches() to re-probe)", x.shape, w.shape, x.dtype)
-        return None
-
-    try:
-        return pconv.conv2d(x, w, tuple(pad))
-    except Exception:
-        _pallasFailed.add(key)
-        logger.warning(
-            "Pallas conv kernel failed at trace time for x%s w%s %s; falling "
-            "back to XLA for this shape", x.shape, w.shape, x.dtype)
-        return None
+# The batch-in-lanes HCWN kernel (ops/pallas/conv.py) and the kw-stacked
+# conv3 kernel were REMOVED 2026-08-19 after the corrected-methodology sweep
+# (tools/convsweep.py, results in tools/convsweep_results.txt): XLA's NHWC
+# conv beat both at every one of 14 swept signatures INCLUDING their design
+# points (HCWN at the reference ConvSpeed shape 128x32x64x64 ⊛ 11x11:
+# XLA 0.987 ms vs 1.158; conv3 at train-batch body shapes: 2-10x behind).
+# Earn-or-trim: a kernel the measured dispatch never selects is inventory,
+# not capability.  The Winograd family below remains the structural
+# alternative for 3x3 stride-1 convs.
 
 
 def measureAlgoChoice(datashape, Wshape, stride, pad, dilation, groups,
@@ -249,8 +187,7 @@ def measureAlgoChoice(datashape, Wshape, stride, pad, dilation, groups,
     calls) and record the winners in ``_algoChoice``; ties go to XLA.
     Candidates per direction:
 
-      fwd        XLA NHWC direct | fused Winograd F(2x2,3x3) | batch-in-lanes
-                 HCWN Pallas
+      fwd        XLA NHWC direct | fused Winograd F(2x2,3x3)
       bwd-data   the same candidates on the rotated-filter forward signature
       bwd-filter XLA batch-role-swap | transform-domain Winograd dU (3x3)
 
@@ -260,7 +197,6 @@ def measureAlgoChoice(datashape, Wshape, stride, pad, dilation, groups,
     import time
     from puzzlelib_tpu.backend.device import ensureInit
     from puzzlelib_tpu.ops.pallas import winograd as pwino
-    from puzzlelib_tpu.ops.pallas import conv as pconv
 
     ensureInit()     # resolve the platform override before touching backends
 
@@ -326,14 +262,6 @@ def measureAlgoChoice(datashape, Wshape, stride, pad, dilation, groups,
                 "winograd",
                 lambda i, x, w, d: pwino.conv2dNHWC(x, w + d[i], pd),
                 (xN, wz, dl)))
-
-        if pconv.applicable(dsh, wsh, stride, pd, dilation, groups, dtype) \
-                and pconv.probeCompile(dsh, wsh, pd, dtype):
-            xC = jnp.transpose(xN, (0, 3, 1, 2))
-            entries.append((
-                "pallas",
-                lambda i, x, w, d: pconv.conv2d(x, w + d[i], pd),
-                (xC, wz, dl)))
 
         if len(entries) == 1:
             return None
@@ -403,7 +331,7 @@ def measureAlgoChoice(datashape, Wshape, stride, pad, dilation, groups,
 
     # dispatch reads _algoChoice at trace time: any jit that already traced
     # this signature would keep its pre-measurement choice forever (same
-    # hazard the tile autotuner clears, pallas/conv.py autotune)
+    # hazard the GEMM tile autotuner clears, pallas/matmul.py autotune)
     if results:
         for fn in (convNd, convNdBackwardData, convNdBackwardParams,
                    deconvNd, deconvNdBackwardData):
@@ -429,12 +357,6 @@ def _convCore(x, w, stride, pad, dilation, groups):
     nd = x.ndim - 2
 
     if nd == 2:
-        out = _tryPallas(x, w, stride, pad, dilation, groups)
-
-        if out is not None:
-            dispatchStats["pallas"] += 1
-            return out
-
         out = _tryWinograd(x, w, stride, pad, dilation, groups)
 
         if out is not None:

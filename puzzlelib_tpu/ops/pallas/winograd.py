@@ -33,10 +33,10 @@ inflation never touches HBM:
   the f32 variant and costs ~half a mantissa bit on top of Winograd's own
   bit); each of the 16 (xi, nu) products is one MXU dot against the
   resident transformed filter U[xi nu] (C, CO).
-- The inverse transform A^T m A runs in one of two schemes: "rmw" (default,
-  measured faster and 6 MB leaner - the four output phases accumulate in
-  f32 scratch as each dot retires) or "mcat" (the 16 m blocks materialise
-  once and each phase is a fused 9-term combine); the two column phases of
+- The inverse transform A^T m A accumulates the four output phases in f32
+  scratch as each dot retires ("rmw"; a 16-block materialise-then-combine
+  variant, "mcat", measured slower with 4x the m scratch and was removed
+  2026-08-19 - earn-or-trim); the two column phases of
   a row slab concatenate on lanes (CO-aligned, free) and the output leaves
   in the same lane-interleaved slab layout - the exit is a coarse
   row-granule transpose + crop, again HBM speed.
@@ -77,7 +77,7 @@ _G = np.array([[1, 0, 0], [.5, .5, .5], [.5, -.5, .5], [0, 0, 1]], np.float64)
 
 
 def _kernel(xRef, uRef, outRef, buf, t1, m, sems, *,
-            bi, twp, mb, c, cb, co, nBlocks, nCc, outDtype, scheme):
+            bi, twp, mb, c, cb, co, nBlocks, nCc, outDtype):
     n, blk, cc = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     step = (n * nBlocks + blk) * nCc + cc
@@ -136,11 +136,10 @@ def _kernel(xRef, uRef, outRef, buf, t1, m, sems, *,
         t1[2 * 4 + b] = d2 - d1
         t1[3 * 4 + b] = d1 - d3
 
-    # stage 2 (B along b) + the 16 GEMMs + A^T m A.  scheme "mcat":
-    # materialise the 16 m blocks, compute each output phase as one fused
-    # 9-term combine.  scheme "rmw": accumulate the four output phases as
-    # each dot retires - more scratch passes, but 16*mb*co less VMEM, which
-    # is what makes C = CO = 512 shapes fit with the filter resident.
+    # stage 2 (B along b) + the 16 GEMMs + A^T m A: accumulate the four
+    # output phases in f32 scratch as each dot retires - 12*mb*co less VMEM
+    # than materialising the 16 m blocks, which is what makes C = CO = 512
+    # shapes fit with the filter resident (and measured faster besides).
     written = set()
 
     for xi in range(4):
@@ -153,15 +152,12 @@ def _kernel(xRef, uRef, outRef, buf, t1, m, sems, *,
                                       if outDtype == jnp.float32
                                       else jax.lax.Precision.DEFAULT))
 
-            if scheme == "mcat":
-                targets = [(xi * 4 + nu, part)]
-            else:
-                targets = [
-                    (ap * 2 + bp,
-                     part if _AT[ap][xi] * _AT[bp][nu] > 0 else -part)
-                    for ap in range(2) if _AT[ap][xi] != 0
-                    for bp in range(2) if _AT[bp][nu] != 0
-                ]
+            targets = [
+                (ap * 2 + bp,
+                 part if _AT[ap][xi] * _AT[bp][nu] > 0 else -part)
+                for ap in range(2) if _AT[ap][xi] != 0
+                for bp in range(2) if _AT[bp][nu] != 0
+            ]
 
             for k, term in targets:
                 if k not in written:
@@ -180,24 +176,9 @@ def _kernel(xRef, uRef, outRef, buf, t1, m, sems, *,
                 else:
                     m[k] += term
 
-    # output phase (ap, bp): fused +/- combine of the m blocks under
-    # "mcat"; already accumulated under "rmw"
+    # output phase (ap, bp): already accumulated in the retire loop above
     def yPhase(ap, bp):
-        if scheme == "rmw":
-            return m[ap * 2 + bp].astype(outDtype)
-
-        y = None
-        for xi in range(4):
-            if _AT[ap][xi] == 0:
-                continue
-            for nu in range(4):
-                if _AT[bp][nu] == 0:
-                    continue
-                term = m[xi * 4 + nu]
-                if _AT[ap][xi] * _AT[bp][nu] < 0:
-                    term = -term
-                y = term if y is None else y + term
-        return y.astype(outDtype)
+        return m[ap * 2 + bp].astype(outDtype)
 
     # emit in the same lane-interleaved slab layout: row slab ap, lanes
     # bp*CO + channel (the concat is CO-aligned on lanes, i.e. free)
@@ -209,9 +190,8 @@ def _kernel(xRef, uRef, outRef, buf, t1, m, sems, *,
 
 
 @functools.partial(jax.jit, static_argnames=("bi", "twp", "cb", "co", "nBlocks",
-                                             "nCc", "scheme", "interpret"))
-def _winogradHC(xs, u, *, bi, twp, cb, co, nBlocks, nCc, scheme="mcat",
-                interpret=False):
+                                             "nCc", "interpret"))
+def _winogradHC(xs, u, *, bi, twp, cb, co, nBlocks, nCc, interpret=False):
     """xs (2, N, rows, 2C) row-phase slabs (rows = flattened (i, j) tiles
     with pitch twp, lanes = bp*C + channel); u (16, C, CO) transformed
     filter.  Returns (N, nBlocks, 2, MB, 2*CO) in the same slab layout."""
@@ -222,7 +202,7 @@ def _winogradHC(xs, u, *, bi, twp, cb, co, nBlocks, nCc, scheme="mcat",
     return pl.pallas_call(
         functools.partial(
             _kernel, bi=bi, twp=twp, mb=mb, c=c, cb=cb, co=co,
-            nBlocks=nBlocks, nCc=nCc, outDtype=xs.dtype, scheme=scheme,
+            nBlocks=nBlocks, nCc=nCc, outDtype=xs.dtype,
         ),
         grid=(n, nBlocks, nCc),
         in_specs=[
@@ -236,7 +216,7 @@ def _winogradHC(xs, u, *, bi, twp, cb, co, nBlocks, nCc, scheme="mcat",
         scratch_shapes=[
             pltpu.VMEM((2, 4, _fetchRows(bi, twp), cb), xs.dtype),
             pltpu.VMEM((16, mb, cb), xs.dtype),
-            pltpu.VMEM((16 if scheme == "mcat" else 4, mb, co), jnp.float32),
+            pltpu.VMEM((4, mb, co), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -253,44 +233,37 @@ def _winogradHC(xs, u, *, bi, twp, cb, co, nBlocks, nCc, scheme="mcat",
     )(xs, u)
 
 
-def _vmemBytes(bi, twp, c, cb, co, itemsize, scheme="mcat"):
+def _vmemBytes(bi, twp, c, cb, co, itemsize):
     mb = bi * twp
 
     return (2 * 4 * _fetchRows(bi, twp) * cb * itemsize  # phase double buffers
             + 16 * mb * cb * itemsize                    # stage-1 butterflies
-            + (16 if scheme == "mcat" else 4) * mb * co * 4   # m / y scratch
+            + 4 * mb * co * 4                            # phase-accum scratch
             + 2 * 2 * mb * 2 * co * itemsize             # pipelined out block
             + 16 * c * co * itemsize)                    # fully resident filter
 
 
 def _pickBlock(th, twp, c, cb, co, itemsize, vmemBudget=13 * 2 ** 20):
     """Largest tile-row block under the VMEM budget (MB >= ~128 for the MXU,
-    minimal padded-row overhead).  Returns (bi, scheme) or None: the
-    4-accumulator "rmw" inverse is preferred (measured faster and 4x less m
-    scratch, letting C = CO = 512 shapes keep the filter resident); the
-    16-block "mcat" inverse is the fallback."""
-    for scheme in ("rmw", "mcat"):
-        best, bestBi = None, None
+    minimal padded-row overhead).  Returns bi or None."""
+    best, bestBi = None, None
 
-        for bi in range(min(th, 16), 0, -1):
-            # multi-block DMAs start at blk*bi*twp sublanes: Mosaic requires
-            # a provably 8-divisible start (moot with one block per height)
-            if bi < th and (bi * twp) % 8 != 0:
-                continue
+    for bi in range(min(th, 16), 0, -1):
+        # multi-block DMAs start at blk*bi*twp sublanes: Mosaic requires
+        # a provably 8-divisible start (moot with one block per height)
+        if bi < th and (bi * twp) % 8 != 0:
+            continue
 
-            if _vmemBytes(bi, twp, c, cb, co, itemsize, scheme) > vmemBudget:
-                continue
+        if _vmemBytes(bi, twp, c, cb, co, itemsize) > vmemBudget:
+            continue
 
-            nBlocks = -(-th // bi)
-            cand = (nBlocks * bi / th, -min(bi * twp, 256))
+        nBlocks = -(-th // bi)
+        cand = (nBlocks * bi / th, -min(bi * twp, 256))
 
-            if best is None or cand < best:
-                best, bestBi = cand, bi
+        if best is None or cand < best:
+            best, bestBi = cand, bi
 
-        if bestBi is not None:
-            return bestBi, scheme
-
-    return None
+    return bestBi
 
 
 def applicable(xshape, wshape, stride, pad, dilation, groups, dtype=jnp.bfloat16):
@@ -347,7 +320,7 @@ def _rowSlabs(xl, n, hp2, twp, c, rowsNeeded):
     return xs
 
 
-def conv2dNHWC(x, w, pad=(0, 0), bi=None, scheme=None, interpret=False):
+def conv2dNHWC(x, w, pad=(0, 0), bi=None, interpret=False):
     """NHWC 3x3 stride-1 conv through the fused Winograd kernel; w is OIHW."""
     n, h, wd, c = x.shape
     co = w.shape[0]
@@ -358,18 +331,13 @@ def conv2dNHWC(x, w, pad=(0, 0), bi=None, scheme=None, interpret=False):
     cb = _chunkC(c)
 
     if bi is None:
-        tuned = _tuned.get((tuple(x.shape), tuple(w.shape), tuple(pad),
-                            np.dtype(x.dtype).str))
-        if tuned is not None:
-            bi, scheme = tuned
+        bi = _tuned.get((tuple(x.shape), tuple(w.shape), tuple(pad),
+                         np.dtype(x.dtype).str))
 
     if bi is None:
-        picked = _pickBlock(th, twp, c, cb, co, x.dtype.itemsize)
-        if picked is None:
+        bi = _pickBlock(th, twp, c, cb, co, x.dtype.itemsize)
+        if bi is None:
             raise ValueError("no VMEM-feasible block for %s conv %s" % (x.shape, w.shape))
-        bi, scheme = picked if scheme is None else (picked[0], scheme)
-    elif scheme is None:
-        scheme = "rmw"
 
     nBlocks = -(-th // bi)
     nCc = c // cb
@@ -386,7 +354,7 @@ def conv2dNHWC(x, w, pad=(0, 0), bi=None, scheme=None, interpret=False):
     u = _filterTransform(w)
 
     out = _winogradHC(xs, u, bi=bi, twp=twp, cb=cb, co=co, nBlocks=nBlocks,
-                      nCc=nCc, scheme=scheme, interpret=interpret)
+                      nCc=nCc, interpret=interpret)
 
     # exit: (N, nB, 2, bi, twp, 2, CO) -> swap (bi, ap) - a coarse transpose
     # with contiguous twp*2*CO-granule runs - then crop
@@ -424,26 +392,23 @@ def autotune(xshape, wshape, pad=(0, 0), dtype=jnp.bfloat16, iters=6, maxCandida
     w = jnp.zeros(wshape, dtype)
 
     feasible = [
-        (bi, scheme)
-        for scheme in ("mcat", "rmw")
+        bi
         for bi in range(1, min(th, 16) + 1)
         if (bi >= th or (bi * twp) % 8 == 0)
-        and _vmemBytes(bi, twp, c, cb, co, itemsize, scheme) <= 13 * 2 ** 20
+        and _vmemBytes(bi, twp, c, cb, co, itemsize) <= 13 * 2 ** 20
     ]
-    feasible.sort(key=lambda bs: (bs[1] != "rmw",
-                                  -(-th // bs[0]) * bs[0] / th,
-                                  abs(bs[0] * twp - 256)))
+    feasible.sort(key=lambda bi: (-(-th // bi) * bi / th,
+                                  abs(bi * twp - 256)))
 
-    best, bestParams = float("inf"), None
+    best, bestBi = float("inf"), None
 
-    for bi, scheme in feasible[:maxCandidates]:
+    for bi in feasible[:maxCandidates]:
         try:
             @jax.jit
-            def chained(x, w, bi=bi, scheme=scheme):
+            def chained(x, w, bi=bi):
                 acc = jnp.zeros((8, ), jnp.float32)
                 for i in range(iters):
-                    out = conv2dNHWC(x, w + jnp.asarray(i, dtype), pad,
-                                     bi=bi, scheme=scheme)
+                    out = conv2dNHWC(x, w + jnp.asarray(i, dtype), pad, bi=bi)
                     acc += out.ravel()[:8].astype(jnp.float32)
                 return acc
 
@@ -459,10 +424,10 @@ def autotune(xshape, wshape, pad=(0, 0), dtype=jnp.bfloat16, iters=6, maxCandida
             continue
 
         if secs < best:
-            best, bestParams = secs, (bi, scheme)
+            best, bestBi = secs, bi
 
-    _tuned[key] = bestParams
-    return bestParams
+    _tuned[key] = bestBi
+    return bestBi
 
 
 # ---------------------------------------------------------------------------

@@ -67,92 +67,6 @@ def testGemmAlgoDispatch():
     assert np.allclose(out, ref, atol=1e-4)
 
 
-def testPallasConvInterpret():
-    from puzzlelib_tpu.ops.pallas.conv import conv2d
-
-    np.random.seed(3)
-    x = jnp.asarray(np.random.randn(3, 16, 10, 14), jnp.float32)
-    w = jnp.asarray(np.random.randn(8, 16, 3, 5), jnp.float32)
-
-    out = conv2d(x, w, (1, 2), interpret=True)
-
-    # float64 host oracle (the lax CPU reference itself runs bf16-emulated dots)
-    xn = np.pad(np.asarray(x, np.float64), ((0, 0), (0, 0), (1, 1), (2, 2)))
-    wn = np.asarray(w, np.float64)
-    ref = np.zeros((3, 8, 10, 14))
-
-    for i in range(3):
-        for j in range(5):
-            ref += np.einsum("nchw,oc->nohw", xn[:, :, i:i + 10, j:j + 14], wn[:, :, i, j])
-
-    assert out.shape == (3, 8, 10, 14)
-    assert np.allclose(np.asarray(out), ref, atol=1e-4)
-
-
-def testPallasConvStaggered():
-    from puzzlelib_tpu.ops.pallas.conv import conv2d
-
-    np.random.seed(4)
-    x = jnp.asarray(np.random.randn(2, 8, 12, 12), jnp.float32)
-    w = jnp.asarray(np.random.randn(8, 8, 3, 3), jnp.float32)
-
-    base = conv2d(x, w, (0, 0), r=1, interpret=True)
-    stag = conv2d(x, w, (0, 0), r=2, interpret=True)
-
-    assert np.allclose(np.asarray(base), np.asarray(stag), atol=1e-4)
-
-
-def testPallasConvApplicable():
-    from puzzlelib_tpu.ops.pallas.conv import applicable
-
-    assert applicable((128, 32, 64, 64), (64, 32, 11, 11), (1, 1), (0, 0), (1, 1), 1)
-    assert not applicable((128, 32, 64, 64), (64, 32, 11, 11), (2, 2), (0, 0), (1, 1), 1)
-    assert not applicable((128, 3, 64, 64), (64, 3, 11, 11), (1, 1), (0, 0), (1, 1), 1)  # c % 8
-    assert not applicable((8, 16, 8, 8), (16, 16, 3, 3), (1, 1), (0, 0), (1, 1), 2)      # groups
-
-
-def testConv3ChwInterpret():
-    """Channels-in-sublanes small-kernel conv vs a float64 host oracle."""
-    from puzzlelib_tpu.ops.pallas import conv3
-
-    np.random.seed(6)
-
-    for (n, c, h, w, co, kh, kw, p) in [
-        (2, 16, 14, 12, 24, 3, 3, 1),
-        (2, 16, 9, 7, 8, 5, 5, 2),
-        (1, 16, 8, 8, 16, 1, 1, 0),
-        (2, 16, 13, 11, 16, 3, 3, 0),
-    ]:
-        x = jnp.asarray(np.random.randn(n, c, h, w), jnp.float32)
-        wt = jnp.asarray(np.random.randn(co, c, kh, kw) * 0.1, jnp.float32)
-
-        out = conv3.conv2d(x, wt, (p, p), interpret=True)
-
-        oh, ow = h + 2 * p - kh + 1, w + 2 * p - kw + 1
-        xn = np.pad(np.asarray(x, np.float64), ((0, 0), (0, 0), (p, p), (p, p)))
-        wn = np.asarray(wt, np.float64)
-
-        ref = np.zeros((n, co, oh, ow))
-        for i in range(kh):
-            for j in range(kw):
-                ref += np.einsum("nchw,oc->nohw", xn[:, :, i:i + oh, j:j + ow], wn[:, :, i, j])
-
-        assert out.shape == (n, co, oh, ow)
-        assert np.abs(np.asarray(out) - ref).max() < 1e-4 * max(1.0, np.abs(ref).max())
-
-
-def testConv3Applicable():
-    from puzzlelib_tpu.ops.pallas.conv3 import applicable
-
-    # ResNet body shapes are the target
-    assert applicable((32, 256, 56, 56), (256, 256, 3, 3), (1, 1), (1, 1), (1, 1), 1)
-    assert applicable((32, 512, 28, 28), (512, 512, 3, 3), (1, 1), (1, 1), (1, 1), 1)
-    # stride / groups / wide rows fall back
-    assert not applicable((32, 256, 56, 56), (256, 256, 3, 3), (2, 2), (1, 1), (1, 1), 1)
-    assert not applicable((32, 256, 56, 56), (256, 128, 3, 3), (1, 1), (1, 1), (1, 1), 2)
-    assert not applicable((32, 64, 224, 224), (64, 64, 3, 3), (1, 1), (1, 1), (1, 1), 1)
-
-
 def testWinogradInterpret():
     """Fused Winograd F(2x2,3x3) kernel vs a float64 host oracle."""
     from puzzlelib_tpu.ops.pallas import winograd
@@ -182,8 +96,10 @@ def testWinogradInterpret():
         assert np.abs(np.asarray(out) - ref).max() < 1e-3 * max(1.0, np.abs(ref).max())
 
 
-def testWinogradRmwSchemeInterpret():
-    """The 4-accumulator inverse-transform scheme matches the 16-block one."""
+def testWinogradExplicitBlockInterpret():
+    """An explicit non-default bi (multi-block row coverage) matches the
+    picked-block result — the accumulated inverse transform must be
+    block-partition-invariant."""
     from puzzlelib_tpu.ops.pallas import winograd
 
     np.random.seed(12)
@@ -192,8 +108,8 @@ def testWinogradRmwSchemeInterpret():
     x = jnp.asarray(np.random.randn(n, h, w, c), jnp.float32)
     wt = jnp.asarray(np.random.randn(co, c, 3, 3) * 0.1, jnp.float32)
 
-    a = winograd.conv2dNHWC(x, wt, (p, p), scheme="mcat", interpret=True)
-    b = winograd.conv2dNHWC(x, wt, (p, p), scheme="rmw", interpret=True)
+    a = winograd.conv2dNHWC(x, wt, (p, p), interpret=True)
+    b = winograd.conv2dNHWC(x, wt, (p, p), bi=1, interpret=True)
 
     assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-5
 

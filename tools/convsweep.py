@@ -1,18 +1,18 @@
 #!/usr/bin/env python3
 """Earn-or-trim sweep for the Pallas conv kernel inventory.
 
-Races every conv kernel (XLA NHWC direct, fused Winograd F(2x2,3x3),
-batch-in-lanes HCWN, (H,C)-sublane conv3) on the shapes where each one's
-structure says it could win:
+Races every conv kernel on the shapes where each one's structure says it
+could win.  The 2026-08-19 full sweep (tools/convsweep_results.txt) raced
+XLA NHWC direct, fused Winograd F(2x2,3x3), batch-in-lanes HCWN, and the
+(H,C)-sublane conv3 kernel over 14 signatures: XLA won or tied every one,
+including HCWN's design point (the reference ConvSpeed shape family,
+/root/reference/Cuda/Benchmarks/ConvSpeed.py: XLA 0.987 ms vs 1.158) and
+conv3's (train-batch body shapes, 2-10x behind).  HCWN and conv3 were
+deleted on that evidence (earn-or-trim); the surviving candidates are
 
-  - Winograd: small-batch stride-1 3x3 (2.25x FLOP cut matters most when the
-    MXU isn't saturated) + the (32,128,56,56) fwd race that measured 2% ahead
-    in the round-3 campaign.
-  - HCWN: batch >= 96 (the kernel keeps images in the 128 lanes) with
-    CO < 128 and large kernels (the reference ConvSpeed shape family,
-    /root/reference/Cuda/Benchmarks/ConvSpeed.py).
-  - conv3: ResNet/VGG body shapes at train batches 16-32 (its design point:
-    HCWN wastes 3/4 of the lanes there).
+  - XLA NHWC direct (the default), and
+  - Winograd: small-batch stride-1 3x3 (2.25x FLOP cut matters most when
+    the MXU isn't saturated).
 
 Methodology = benchmarks/timing.py marginalTime: lax.scan chains (O(1)
 program size, no cross-rep CSE), array-delta perturbations via traced
@@ -48,8 +48,6 @@ FLOOR = 50e-6        # below this the 40-rep marginal is noise (can go negative)
 def race(datashape, Wshape, pad):
     """Race all applicable kernels at one signature; returns {name: s/call}."""
     from puzzlelib_tpu.ops.pallas import winograd as pwino
-    from puzzlelib_tpu.ops.pallas import conv as pconv
-    from puzzlelib_tpu.ops.pallas import conv3 as pconv3
 
     dtype = jnp.bfloat16
     stride, dilation, groups = (1, 1), (1, 1), 1
@@ -75,19 +73,6 @@ def race(datashape, Wshape, pad):
         entries.append(("winograd",
                         lambda i, x, wt, d: pwino.conv2dNHWC(x, wt + d[i], pad),
                         (xN, wz, dl)))
-
-    xC = jnp.transpose(xN, (0, 3, 1, 2))
-
-    if pconv.applicable(datashape, Wshape, stride, pad, dilation, groups, dtype) \
-            and pconv.probeCompile(datashape, Wshape, tuple(pad), dtype):
-        entries.append(("pallas",
-                        lambda i, x, wt, d: pconv.conv2d(x, wt + d[i], pad),
-                        (xC, wz, dl)))
-
-    if pconv3.applicable(datashape, Wshape, stride, pad, dilation, groups, dtype):
-        entries.append(("conv3",
-                        lambda i, x, wt, d: pconv3.conv2d(x, wt + d[i], pad),
-                        (xC, wz, dl)))
 
     times = {}
     for name, fn, args in entries:
@@ -122,11 +107,11 @@ SHAPES = [
     # dim at 224^2/112^2; these two stages carry ~1/3 of the 29.6 ms step)
     ((32, 64, 224, 224), (64, 64, 3, 3), (1, 1)),
     ((32, 128, 112, 112), (128, 128, 3, 3), (1, 1)),
-    # --- HCWN candidates: batch fills the lanes, CO < 128, big kernels ---
+    # --- big-kernel, CO < 128 family (was the HCWN design point) ---
     ((128, 32, 64, 64), (64, 32, 11, 11), (0, 0)),     # reference ConvSpeed
     ((128, 64, 56, 56), (64, 64, 7, 7), (3, 3)),
     ((128, 16, 96, 96), (32, 16, 11, 11), (0, 0)),
-    # --- conv3 candidates: train-batch body shapes ---
+    # --- train-batch body shapes ---
     ((16, 128, 112, 112), (128, 128, 3, 3), (1, 1)),
     ((32, 256, 28, 28), (256, 256, 3, 3), (1, 1)),
     ((32, 512, 14, 14), (512, 512, 3, 3), (1, 1)),

@@ -8,7 +8,6 @@ Covers:
              beats XLA 1.5-2.17x and ships as the "auto" long-seq default)
   winograd   fused F(2x2,3x3) forward at a body shape (forced dispatch; the
              dispatchStats tally proves the kernel path ran, not the fallback)
-  hcwn       batch-in-lanes conv kernel (forced dispatch)
   winoFG     transform-domain bwd-filter kernel
   gemm       Pallas MXU matmul tiles
 
@@ -78,17 +77,16 @@ def main():
     convOps.convNd.clear_cache()
     ref = convOps.convNd(x, w, bz, (1, 1), (1, 1), (1, 1), 1)
 
-    for algo, statKey in (("winograd", "winograd"), ("pallas", "pallas")):
-        Config.convAlgo = algo
-        convOps.resetDispatchCaches()
-        convOps.convNd.clear_cache()
-        before = convOps.dispatchStats[statKey]
-        out = convOps.convNd(x, w, bz, (1, 1), (1, 1), (1, 1), 1)
+    Config.convAlgo = "winograd"
+    convOps.resetDispatchCaches()
+    convOps.convNd.clear_cache()
+    before = convOps.dispatchStats["winograd"]
+    out = convOps.convNd(x, w, bz, (1, 1), (1, 1), (1, 1), 1)
 
-        if convOps.dispatchStats[statKey] == before:
-            raise AssertionError(
-                "%s kernel did NOT run (dispatch fell back to XLA)" % algo)
-        assertClose(out, ref, 3e-2, algo)
+    if convOps.dispatchStats["winograd"] == before:
+        raise AssertionError(
+            "winograd kernel did NOT run (dispatch fell back to XLA)")
+    assertClose(out, ref, 3e-2, "winograd")
 
     # transform-domain bwd-filter kernel
     from puzzlelib_tpu.ops.pallas import winograd as pwino

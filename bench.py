@@ -1,22 +1,36 @@
 """Headline benchmark: LeNet-class CNN training throughput on TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints JSON lines ``{"metric", "value", "unit", "vs_baseline", ...}``; the
+LAST line is the most complete record.
 
-The reference publishes no absolute numbers (see BASELINE.md), so
-``vs_baseline`` reports the speedup of the fused single-executable train step
-over the eager per-op dispatch path (the reference's execution model) measured
-on the same hardware in the same process.
+Un-losable architecture (round 5): every measurement runs in its OWN
+subprocess under its own timeout, and the parent — which never imports jax,
+so it cannot hang on backend init — prints a full flushed JSON line after
+EVERY phase. A wedged TPU relay therefore costs at most one phase, never the
+round's record (round 4 lost everything: one hang before the single print at
+the end of main()). Matches the reference's incremental printing discipline
+(/root/reference/TestLib/OptimizeNet.py:29-37 prints per measurement).
+
+Phases, in decreasing order of importance:
+  1. lenet  — fused K-step train throughput (the headline metric)
+  2. eager  — reference-style per-op dispatch baseline (for vs_baseline)
+  3. nin    — Network-in-Network CIFAR-10-shape train throughput
 """
 
 import os
 import sys
 import json
+import signal
+import subprocess
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPOROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPOROOT)
 
-import numpy as np
+RESULT_TAG = "BENCH_RESULT "
 
+
+# ---------------------------------------------------------------- child-side
 
 def buildNet():
     from puzzlelib_tpu.containers import Sequential
@@ -41,6 +55,12 @@ def buildNet():
     return net
 
 
+def buildNiN():
+    # the reference's CIFAR-10 Network-in-Network (TestLib/CnnCifar10NIN.py)
+    from testlib.cnncifar10nin import buildNet as buildNiNNet
+    return buildNiNNet()
+
+
 def timeSteps(stepFn, sync, warmup=5, iters=30):
     for _ in range(warmup):
         stepFn()
@@ -62,28 +82,12 @@ def enableCompileCache():
     _enable()
 
 
-def probeRelay(timeout=900):
-    """Bounded aliveness probe in a subprocess: the axon relay wedges for
-    hours at a time, and a wedged relay hangs even backend init - better to
-    report a structured failure than to hang the driver."""
-    import subprocess
-
-    code = ("import jax.numpy as jnp, numpy as np;"
-            "a = jnp.ones((256, 256), jnp.bfloat16);"
-            "np.asarray((a @ a).ravel()[:1]); print('OK')")
-    try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout,
-                           capture_output=True, text=True)
-        return "OK" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
-
-
 def measureFusedGroups(buildFn, inshape, batch, ksteps, groups=5, iters=4):
     """Per-step seconds for ``groups`` independently timed runs of the fused
     K-step dispatch — the spread across groups characterizes the relay's
     run-to-run variance (the source of the 289k→228k LeNet drift across
     rounds; see PARITY §6)."""
+    import numpy as np
     from puzzlelib_tpu.backend import gpuarray
     from puzzlelib_tpu.cost import CrossEntropy
     from puzzlelib_tpu.optimizers import MomentumSGD
@@ -113,57 +117,43 @@ def measureFusedGroups(buildFn, inshape, batch, ksteps, groups=5, iters=4):
             for g in range(groups)]
 
 
-def buildNiN():
-    # the reference's CIFAR-10 Network-in-Network (TestLib/CnnCifar10NIN.py)
-    from testlib.cnncifar10nin import buildNet as buildNiNNet
-    return buildNiNNet()
+def emitResult(payload):
+    print(RESULT_TAG + json.dumps(payload), flush=True)
 
 
-def main():
-    import jax
+def phaseProbe():
+    import jax.numpy as jnp
+    import numpy as np
+    a = jnp.ones((256, 256), jnp.bfloat16)
+    np.asarray((a @ a).ravel()[:1])
+    emitResult({"ok": True})
 
-    if os.environ.get("JAX_PLATFORMS", "").split(",")[0] != "cpu" \
-            and not probeRelay():
-        print(json.dumps({
-            "metric": "lenet_train_images_per_sec",
-            "value": 0.0,
-            "unit": "images/sec",
-            "vs_baseline": 0.0,
-            "error": "TPU relay unreachable (probe timed out); no measurement",
-        }))
-        return
 
+def phaseLenet(batch, ksteps):
+    import numpy as np
     enableCompileCache()
+    secs = measureFusedGroups(buildNet, (1, 28, 28), batch, ksteps)
+    emitResult({"lenet_secs": [float(s) for s in secs]})
 
+
+def phaseEager(batch):
+    import numpy as np
+    enableCompileCache()
     from puzzlelib_tpu.backend import gpuarray
     from puzzlelib_tpu.cost import CrossEntropy
     from puzzlelib_tpu.optimizers import MomentumSGD
 
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
-    ksteps = int(os.environ.get("BENCH_STEPS", "16"))
-
-    lenetSecs = measureFusedGroups(buildNet, (1, 28, 28), batch, ksteps)
-    fusedSec = float(np.median(lenetSecs))
-
-    # NIN CIFAR-10 train throughput (BASELINE.md names LeNet AND NIN)
-    try:
-        ninSecs = measureFusedGroups(buildNiN, (3, 32, 32), batch, ksteps, groups=3)
-        ninTrain = round(batch / float(np.median(ninSecs)), 1)
-    except Exception:
-        ninTrain = None
-
     np.random.seed(0)
-    data = np.random.randn(ksteps * batch, 1, 28, 28).astype(np.float32)
-    labels = np.random.randint(0, 10, size=(ksteps * batch, )).astype(np.int32)
+    data = np.random.randn(batch, 1, 28, 28).astype(np.float32)
+    labels = np.random.randint(0, 10, size=(batch, )).astype(np.int32)
 
-    # -- eager (reference-style per-op dispatch) baseline --------------------
     netE = buildNet()
     optE = MomentumSGD(learnRate=0.01, momRate=0.9)
     optE.setupOn(netE, useGlobalState=False)
     costE = CrossEntropy()
 
-    dataDev1 = gpuarray.to_gpu(data[:batch])
-    labelsDev1 = gpuarray.to_gpu(labels[:batch])
+    dataDev1 = gpuarray.to_gpu(data)
+    labelsDev1 = gpuarray.to_gpu(labels)
 
     def eagerStep():
         grad = costE(netE(dataDev1), labelsDev1, queryError=False)
@@ -173,20 +163,109 @@ def main():
         netE.reset()
 
     # the eager baseline pays the multi-ms relay dispatch on every op; two
-    # timed steps bound its wall-clock cost while the ~200x ratio stays stable
-    eagerSec = timeSteps(eagerStep, lambda: np.asarray(netE[-1].b.jax), warmup=1, iters=2)
+    # timed steps bound its wall-clock cost while the ~100x ratio stays stable
+    eagerSec = timeSteps(eagerStep, lambda: np.asarray(netE[-1].b.jax),
+                         warmup=1, iters=2)
+    emitResult({"eager_sec": float(eagerSec), "eager_iters": 2})
 
+
+def phaseNin(batch, ksteps):
+    enableCompileCache()
+    secs = measureFusedGroups(buildNiN, (3, 32, 32), batch, ksteps, groups=3)
+    emitResult({"nin_secs": [float(s) for s in secs]})
+
+
+# --------------------------------------------------------------- parent-side
+
+def runPhase(name, timeout, **kwargs):
+    """Run one phase function in a fresh interpreter under its own timeout;
+    return its emitted dict or None. The parent stays jax-free so it can never
+    hang — only a child can, and a child is always killed on schedule."""
+    args = ", ".join("%s=%r" % kv for kv in sorted(kwargs.items()))
+    code = "import bench; bench.phase%s(%s)" % (name[0].upper() + name[1:], args)
+    try:
+        r = subprocess.run([sys.executable, "-c", code], cwd=REPOROOT,
+                           timeout=timeout, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        print("phase %s: timed out after %ds" % (name, timeout), file=sys.stderr)
+        return None
+
+    for line in r.stdout.splitlines():
+        if line.startswith(RESULT_TAG):
+            return json.loads(line[len(RESULT_TAG):])
+
+    print("phase %s: no result (rc=%d)\n%s" % (name, r.returncode, r.stderr[-2000:]),
+          file=sys.stderr)
+    return None
+
+
+class Watchdog:
+    """Last-resort alarm: if total wall-clock exceeds the budget, print the
+    best-known record once more and exit 0 before the driver's own timeout
+    can erase the round."""
+
+    def __init__(self, seconds):
+        self.record = None
+        signal.signal(signal.SIGALRM, self._fire)
+        signal.alarm(seconds)
+
+    def _fire(self, signum, frame):
+        if self.record is not None:
+            print(json.dumps(self.record), flush=True)
+        os._exit(0)
+
+    def emit(self, record):
+        self.record = dict(record)
+        print(json.dumps(record), flush=True)
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    ksteps = int(os.environ.get("BENCH_STEPS", "16"))
+    watchdog = Watchdog(int(os.environ.get("BENCH_WATCHDOG", "2400")))
+
+    onCpu = os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu"
+
+    if not onCpu and runPhase("probe", timeout=300) is None:
+        watchdog.emit({
+            "metric": "lenet_train_images_per_sec",
+            "value": 0.0,
+            "unit": "images/sec",
+            "vs_baseline": 0.0,
+            "error": "TPU relay unreachable (probe timed out); no measurement",
+        })
+        # the relay sometimes un-wedges within minutes: one bounded retry
+        if runPhase("probe", timeout=300) is None:
+            return
+
+    import numpy as np
+
+    lenet = runPhase("lenet", timeout=int(os.environ.get("BENCH_PHASE_TIMEOUT", "600")),
+                     batch=batch, ksteps=ksteps)
+    if lenet is None:
+        watchdog.emit({
+            "metric": "lenet_train_images_per_sec",
+            "value": 0.0,
+            "unit": "images/sec",
+            "vs_baseline": 0.0,
+            "error": "lenet phase timed out; no measurement",
+        })
+        return
+
+    lenetSecs = lenet["lenet_secs"]
+    fusedSec = float(np.median(lenetSecs))
     imagesPerSec = batch / fusedSec
 
-    result = {
+    record = {
         "metric": "lenet_train_images_per_sec",
         "value": round(imagesPerSec, 1),
         "unit": "images/sec",
         # the reference publishes no numbers (BASELINE.md), so the only honest
         # ratio is fused-step speedup over this repo's own eager module-by-module
         # mode — NOT a cross-framework comparison
-        "vs_baseline": round(eagerSec / fusedSec, 2),
-        "vs_baseline_meaning": "fused step speedup vs own eager mode (reference publishes no numbers)",
+        "vs_baseline": 0.0,
+        "vs_baseline_meaning": "fused step speedup vs own eager mode "
+                               "(reference publishes no numbers); eager timed with iters=2",
         # run-to-run spread over independently timed groups: the relay's
         # variance, which explains the ~20% cross-round drift of this metric
         "spread_images_per_sec": {
@@ -195,11 +274,18 @@ def main():
             "max": round(batch / min(lenetSecs), 1),
         },
     }
+    watchdog.emit(record)            # headline secured: print NOW, improve after
 
-    if ninTrain is not None:
-        result["nin_cifar_train_images_per_sec"] = ninTrain
+    eager = runPhase("eager", timeout=360, batch=batch)
+    if eager is not None:
+        record["vs_baseline"] = round(eager["eager_sec"] / fusedSec, 2)
+        watchdog.emit(record)
 
-    print(json.dumps(result))
+    nin = runPhase("nin", timeout=480, batch=batch, ksteps=ksteps)
+    if nin is not None:
+        record["nin_cifar_train_images_per_sec"] = \
+            round(batch / float(np.median(nin["nin_secs"])), 1)
+        watchdog.emit(record)
 
 
 if __name__ == "__main__":

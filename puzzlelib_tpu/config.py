@@ -75,11 +75,13 @@ attentionAlgo = os.environ.get("PUZZLE_ATTENTION_ALGO", "auto")
 convAlgo = os.environ.get("PUZZLE_CONV_ALGO", "auto")
 
 # Layout of conv weight state INSIDE the fused train step's carry: "hwio"
-# keeps W / dW / momentum channels-last between steps so the weight update
-# runs in the bwd-filter conv's natural CO-last layout (the boundary state
-# and every user-visible buffer stay logical (co, c, *k)); "oihw" disables
-# the rewrite.  See docs/kernels.md "Whole-net wall analysis".
-fusedConvLayout = os.environ.get("PUZZLE_FUSED_CONV_LAYOUT", "oihw")
+# (default) keeps W / dW / momentum channels-last between steps so the weight
+# update runs in the bwd-filter conv's natural CO-last layout (the boundary
+# state and every user-visible buffer stay logical (co, c, *k)); "oihw"
+# disables the rewrite.  Numerically a pure permutation — validated by
+# tests/test_training.py::testFusedHwioCarryMatchesLogical and the full suite,
+# which runs under this default.  See docs/kernels.md "Whole-net wall analysis".
+fusedConvLayout = os.environ.get("PUZZLE_FUSED_CONV_LAYOUT", "hwio")
 
 
 def isCPUBased(bnd):

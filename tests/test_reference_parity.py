@@ -390,3 +390,92 @@ def testModelZooNumericParity(ref, which):
     # (OpenPose reaches ~1e5), so the 1e-4 gate is relative to the output scale
     err = float(np.abs(got - expect).max()) / max(1.0, float(np.abs(expect).max()))
     assert err < ATOL, (which, err)
+
+
+def testZooPretrainedFileEntry(ref, tmp_path):
+    """The zoo's actual pretrained contract: a reference-format checkpoint
+    FILE (saved with assumeUniqueNames=True, the layout the published model
+    hdfs use — /root/reference/Models/Nets/ResNet.py:119 loads with
+    assumeUniqueNames=True) goes through our ``loadResNet(modelpath, "50")``
+    entry point, not a hand-plumbed net.load()."""
+    import importlib
+
+    rng = np.random.RandomState(17)
+    np.random.seed(17)
+
+    refMod = importlib.import_module("PuzzleLib.Models.Nets.ResNet")
+    refNet = refMod.loadResNet(None, "50")
+    refNet.pop()                                   # reference CPU binds no SoftMax
+
+    _randomizeState(refNet, rng)
+
+    modelpath = str(tmp_path / "resnet50-ref.hdf")
+    refNet.save(modelpath, assumeUniqueNames=True)
+
+    from puzzlelib_tpu.models.nets.resnet import loadResNet
+
+    ours = loadResNet(modelpath, "50")
+    ours.pop()                                     # compare pre-softmax
+
+    x = np.random.randn(1, 3, 224, 224).astype(np.float32)
+    got, expect = _ourForward(ours, x), _refForward(ref, refNet, x)
+
+    err = float(np.abs(got - expect).max()) / max(1.0, float(np.abs(expect).max()))
+    assert err < ATOL, err
+
+
+def testCaffemodelThroughZooNet(ref, tmp_path):
+    """A real .caffemodel-format blob (protobuf wire bytes, synthesized with
+    our own writer) converted by the importer and consumed through the NiN zoo
+    loader in BOTH frameworks: the full pretrained-import pipeline the
+    reference ships (/root/reference/Converter/Caffe/ConvertModel.py:7 ->
+    Models/Nets/NiN.py), checked end-to-end by forward agreement."""
+    from puzzlelib_tpu.converter.onnx import protowire as pw
+    from puzzlelib_tpu.converter.caffe import convert
+    from puzzlelib_tpu.models.nets.nin import loadNiNImageNet, _LAYOUT
+
+    rng = np.random.RandomState(18)
+
+    def blob(arr):
+        shape = b"".join(pw.encodeInt(1, d) for d in arr.shape)
+        out = pw.encodeMessage(7, shape)
+        out += pw.encodeField(5, pw.WIRE_BYTES, arr.astype("<f4").tobytes())
+        return out
+
+    netparam = pw.encodeBytes(1, "CaffeNet")
+    for entry in _LAYOUT:
+        if entry is None:
+            continue
+
+        inmaps, outmaps, size, _, _, convname = entry
+        fanin = inmaps * size * size
+        W = (rng.randn(outmaps, inmaps, size, size) / np.sqrt(fanin)).astype(np.float32)
+        b = (rng.randn(outmaps) * 0.01).astype(np.float32)
+
+        layer = pw.encodeBytes(1, convname) + pw.encodeBytes(2, "Convolution") \
+            + pw.encodeMessage(7, blob(W)) + pw.encodeMessage(7, blob(b))
+        netparam += pw.encodeMessage(100, layer)
+
+    caffepath = str(tmp_path / "nin.caffemodel")
+    with open(caffepath, "wb") as f:
+        f.write(netparam)
+
+    hdfpath = str(tmp_path / "nin.hdf")
+    convert(caffepath, hdfpath)
+
+    import importlib
+    refMod = importlib.import_module("PuzzleLib.Models.Nets.NiN")
+
+    refNet = refMod.loadNiNImageNet(hdfpath)
+    refNet.pop()                                   # reference CPU binds no SoftMax
+
+    ours = loadNiNImageNet(hdfpath)
+    ours.pop()
+
+    np.random.seed(18)
+    x = np.random.randn(1, 3, 224, 224).astype(np.float32)
+    got, expect = _ourForward(ours, x), _refForward(ref, refNet, x)
+
+    assert np.isfinite(got).all()
+    err = float(np.abs(got - expect).max()) / max(1.0, float(np.abs(expect).max()))
+    assert err < ATOL, err

@@ -133,7 +133,7 @@ def phaseLenet(batch, ksteps):
     import numpy as np
     enableCompileCache()
     secs = measureFusedGroups(buildNet, (1, 28, 28), batch, ksteps)
-    emitResult({"lenet_secs": [float(s) for s in secs]})
+    emitResult({"lenet_secs": [float(s) for s in secs], "ksteps": ksteps})
 
 
 def phaseEager(batch):
@@ -266,6 +266,7 @@ def main():
         "vs_baseline": 0.0,
         "vs_baseline_meaning": "fused step speedup vs own eager mode "
                                "(reference publishes no numbers); eager timed with iters=2",
+        "steps_per_dispatch": ksteps,
         # run-to-run spread over independently timed groups: the relay's
         # variance, which explains the ~20% cross-round drift of this metric
         "spread_images_per_sec": {
@@ -275,6 +276,28 @@ def main():
         },
     }
     watchdog.emit(record)            # headline secured: print NOW, improve after
+
+    # larger dispatch groups amortize the relay's per-dispatch + readback
+    # latency over more steps; take the best honest configuration
+    for k2 in (int(os.environ.get("BENCH_STEPS_WIDE", "64")), ):
+        if k2 <= ksteps:
+            break
+
+        wide = runPhase("lenet", timeout=480, batch=batch, ksteps=k2)
+        if wide is None:
+            break
+
+        wideSec = float(np.median(wide["lenet_secs"]))
+        if wideSec < fusedSec:
+            fusedSec = wideSec
+            record["value"] = round(batch / fusedSec, 1)
+            record["steps_per_dispatch"] = k2
+            record["spread_images_per_sec"] = {
+                "min": round(batch / max(wide["lenet_secs"]), 1),
+                "median": record["value"],
+                "max": round(batch / min(wide["lenet_secs"]), 1),
+            }
+            watchdog.emit(record)
 
     eager = runPhase("eager", timeout=360, batch=batch)
     if eager is not None:

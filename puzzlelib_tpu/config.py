@@ -75,13 +75,15 @@ attentionAlgo = os.environ.get("PUZZLE_ATTENTION_ALGO", "auto")
 convAlgo = os.environ.get("PUZZLE_CONV_ALGO", "auto")
 
 # Layout of conv weight state INSIDE the fused train step's carry: "hwio"
-# (default) keeps W / dW / momentum channels-last between steps so the weight
-# update runs in the bwd-filter conv's natural CO-last layout (the boundary
-# state and every user-visible buffer stay logical (co, c, *k)); "oihw"
+# keeps W / dW / momentum channels-last between steps so the weight update
+# runs in the bwd-filter conv's natural CO-last layout (the boundary state
+# and every user-visible buffer stay logical (co, c, *k)); "oihw" (default)
 # disables the rewrite.  Numerically a pure permutation — validated by
-# tests/test_training.py::testFusedHwioCarryMatchesLogical and the full suite,
-# which runs under this default.  See docs/kernels.md "Whole-net wall analysis".
-fusedConvLayout = os.environ.get("PUZZLE_FUSED_CONV_LAYOUT", "hwio")
+# tests/test_training.py::testFusedHwioCarryMatchesLogical, and the full suite
+# passes under either value.  On-chip A/B (2026-08-19, interleaved runs)
+# measured a tie on VGG-16/ResNet-50 and a 10% LOSS on NIN, so it ships as an
+# opt-in experiment; see docs/kernels.md "Whole-net wall analysis".
+fusedConvLayout = os.environ.get("PUZZLE_FUSED_CONV_LAYOUT", "oihw")
 
 
 def isCPUBased(bnd):

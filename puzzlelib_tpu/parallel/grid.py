@@ -11,8 +11,13 @@ all-reduce/broadcast (ICI on real TPU meshes) — no host staging.  Semantics
 (grad mean-allreduce before the update, scalar means, param broadcast at
 setup) match the reference exactly.
 
-For production throughput use ``FusedStep(mesh=...)`` instead - one jitted
-step over a device mesh with XLA-inserted collectives.
+**This is a compatibility shim, not the fast path.**  Each node dispatches
+eagerly per-op from its own Python thread, so the GIL serializes host-side
+dispatch across nodes; collectives are real, compute overlap is not.  For
+production training use ``FusedStep(mesh=...)`` — one jitted step over a
+device mesh with XLA-inserted collectives — which this repo measures at
+>100x this path's throughput (docs/benchmarks.md).  ``runGrid`` exists so
+reference ``TestLib/MultiGPU*.py`` scripts run unmodified.
 """
 
 import threading

@@ -24,6 +24,12 @@ class Abs(Cost):
         err, _ = costOps.abscost(pred.jax, target.jax)
         return float(np.asarray(err)) / pred.shape[0]
 
+    def calcValDev(self, pred, target):
+        import jax.numpy as jnp
+
+        err, _ = costOps.abscost(pred.jax, target.jax)
+        return err.astype(jnp.float32) / pred.shape[0]
+
     def checkDataShape(self, pred, target):
         assert pred.shape[1:] == target.shape[1:]
 

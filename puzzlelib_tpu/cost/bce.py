@@ -30,12 +30,15 @@ class BCE(Cost):
         if Config.verifyData:
             self.verifyLabels(labels)
 
+        return float(np.asarray(self.calcValDev(scores, labels)))
+
+    def calcValDev(self, scores, labels):
         import jax.numpy as jnp
 
         # logit sign is the decision boundary: count disagreements with labels
         x, y = scores.jax.ravel(), labels.jax.ravel()
         wrong = jnp.sum(jnp.where(y == 1, x <= 0.0, x > 0.0))
-        return float(np.asarray(wrong)) / scores.size
+        return wrong.astype(jnp.float32) / scores.size
 
     def checkDataShape(self, scores, labels):
         self._shapeContract(scores, labels)

@@ -139,6 +139,16 @@ class Cost:
     def calcVal(self, pred, target):
         raise NotImplementedError()
 
+    def calcValDev(self, pred, target):
+        """Traced twin of ``calcVal``: the same per-batch validation error as
+        a 0-d device array with NO host sync, so ``fused.FusedValidator`` can
+        compile forward+validation into one program and read the accumulated
+        error back once per epoch.  Data verification (``Config.verifyData``
+        label-range syncs) stays on the eager ``calcVal`` path.  Costs with
+        non-scalar validation (Multi) or no validation protocol (CTC) don't
+        implement it — FusedValidator falls back to the eager path."""
+        raise NotImplementedError()
+
     def checkDataShape(self, pred, target):
         pass
 

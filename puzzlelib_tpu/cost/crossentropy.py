@@ -46,6 +46,10 @@ class CrossEntropy(Cost):
         if Config.verifyData:
             self.verifyLabels(scores, labels)
 
+        wrong = self.calcValDev(scores, labels)
+        return float(np.asarray(wrong))
+
+    def calcValDev(self, scores, labels):
         import jax.numpy as jnp
 
         # argmax over the class axis lines the prediction tensor up with the
@@ -54,7 +58,7 @@ class CrossEntropy(Cost):
         self.mostProb = GPUArray(pred)
 
         wrong = costOps.accuracy(pred, labels.jax)
-        return float(np.asarray(wrong)) / labels.size
+        return wrong.astype(jnp.float32) / labels.size
 
     def checkDataShape(self, scores, labels):
         self._shapeContract(scores, labels)

@@ -33,6 +33,12 @@ class Hinge(Cost):
         err, _ = costOps.hinge(scores.jax, labels.jax)
         return float(np.asarray(err)) / scores.shape[0]
 
+    def calcValDev(self, scores, labels):
+        import jax.numpy as jnp
+
+        err, _ = costOps.hinge(scores.jax, labels.jax)
+        return err.astype(jnp.float32) / scores.shape[0]
+
     def checkDataShape(self, scores, labels):
         self._shapeContract(scores, labels)
 

@@ -43,6 +43,12 @@ class KLDivergence(Cost):
         err, _ = self._divergence(pred, target)
         return float(np.asarray(err))
 
+    def calcValDev(self, pred, target):
+        import jax.numpy as jnp
+
+        err, _ = self._divergence(pred, target)
+        return err.astype(jnp.float32)
+
     def checkDataShape(self, pred, target):
         assert pred.shape[1:] == target.shape[1:]
 

@@ -30,6 +30,9 @@ class L1Hinge(Cost):
         if Config.verifyData:
             self.verifyLabels(labels)
 
+        return float(np.asarray(self.calcValDev(pair, labels)))
+
+    def calcValDev(self, pair, labels):
         import jax.numpy as jnp
 
         # similar iff the mean elementwise distance is within the unit margin;
@@ -37,7 +40,7 @@ class L1Hinge(Cost):
         dist = jnp.mean(jnp.abs(pair[0].jax - pair[1].jax), axis=1)
         wrong = jnp.sum((dist <= 1.0) != labels.jax.astype(bool))
 
-        return float(np.asarray(wrong)) / pair[0].shape[0]
+        return wrong.astype(jnp.float32) / pair[0].shape[0]
 
     def getBatchsize(self, pair):
         return pair[0].shape[0]

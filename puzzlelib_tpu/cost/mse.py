@@ -22,6 +22,12 @@ class MSE(Cost):
         diff = Blas.addVectorToVector(target.ravel(), pred.ravel(), alpha=1.0, beta=-1.0)
         return Blas.dot(diff, diff).get() / (2.0 * np.prod(target.shape))
 
+    def calcValDev(self, pred, target):
+        import jax.numpy as jnp
+
+        diff = (target.jax - pred.jax).astype(jnp.float32).ravel()
+        return jnp.dot(diff, diff) / (2.0 * float(np.prod(target.shape)))
+
     def checkDataShape(self, pred, target):
         assert pred.shape[1:] == target.shape[1:]
 

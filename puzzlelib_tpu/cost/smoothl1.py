@@ -24,10 +24,15 @@ class SmoothL1(Cost):
         return GPUArray(grad)
 
     def calcVal(self, pred, target):
+        return float(np.asarray(self.calcValDev(pred, target)))
+
+    def calcValDev(self, pred, target):
+        import jax.numpy as jnp
+
         perElem = 1.0 / np.prod(target.shape)
 
         err, _ = costOps.smoothL1(pred.jax, target.jax, perElem, perElem)
-        return float(np.asarray(err))
+        return err.astype(jnp.float32)
 
     def checkDataShape(self, pred, target):
         assert pred.shape[1:] == target.shape[1:]

@@ -40,13 +40,17 @@ class SVM(Cost):
         if Config.verifyData:
             self.verifyLabels(scores, labels)
 
+        wrong = self.calcValDev(scores, labels)
+        return float(np.asarray(wrong))
+
+    def calcValDev(self, scores, labels):
         import jax.numpy as jnp
 
         pred = jnp.argmax(scores.jax, axis=1).astype(jnp.int32)
         self.mostProb = GPUArray(pred)
 
         wrong = costOps.accuracy(pred, labels.jax)
-        return float(np.asarray(wrong)) / scores.shape[0]
+        return wrong.astype(jnp.float32) / scores.shape[0]
 
     def checkDataShape(self, scores, labels):
         assert labels.dtype == np.int32

@@ -529,6 +529,95 @@ class FusedStep:
         return self.cost
 
 
+def collectEvalBuffers(module):
+    """Root param + attr buffers an eval-mode forward reads (no grads)."""
+    seen, roots = set(), []
+
+    def add(ary):
+        if not isinstance(ary, GPUArray):
+            return
+
+        root = _rootBuffer(ary)
+        if id(root) not in seen:
+            seen.add(id(root))
+            roots.append(root)
+
+    def walk(mod):
+        for var in mod.vars.values():
+            add(var.data)
+
+        for attr in mod.attrs.values():
+            add(attr)
+
+        if isinstance(mod, Container):
+            for child in mod.modules.values():
+                walk(child)
+
+    walk(module)
+    return roots
+
+
+def _treeUnwrap(x):
+    if isinstance(x, list):
+        return [_treeUnwrap(item) for item in x]
+
+    return x.jax if isinstance(x, GPUArray) else jnp.asarray(x)
+
+
+def _treeWrap(x):
+    if isinstance(x, list):
+        return [_treeWrap(item) for item in x]
+
+    return GPUArray(x)
+
+
+class _FusedEvalProgram:
+    """One eval-mode pass of the module (+ optional cost validation) compiled
+    into a single jitted program.
+
+    The eager object layer is traced exactly like ``FusedStep._traceStep``:
+    parameter/attr root buffers ride as traced operands (no donation — eval
+    mutates nothing), and tracer writes into the live wrappers are undone
+    after every call by rebinding the concrete state.  One executable per
+    input-shape signature (a ragged last batch retraces once)."""
+
+    def __init__(self, module, cost=None):
+        self.module = module
+        self.cost = cost
+        self.buffers = collectEvalBuffers(module)
+        self._jitted = jax.jit(self._run)
+
+    def _bind(self, state):
+        for buf, arr in zip(self.buffers, state):
+            buf._write(arr)
+
+    def _run(self, state, data, target=None):
+        self._bind(state)
+        out = self.module(_treeWrap(data))
+
+        if self.cost is not None:
+            return self.cost.calcValDev(out, _treeWrap(target))
+
+        return _treeUnwrap(out)
+
+    def __call__(self, data, target=None):
+        state = [buf.jax for buf in self.buffers]
+        args = (state, _treeUnwrap(data))
+        if self.cost is not None:
+            args += (_treeUnwrap(target), )
+
+        try:
+            return self._jitted(*args)
+        finally:
+            # rebind the concrete buffers: the first call's trace wrote
+            # tracers through the live module (and cost.mostProb); any later
+            # eager use would otherwise dereference a dead trace
+            self._bind(state)
+            self.module.reset()
+            if self.cost is not None:
+                self.cost.reset()
+
+
 from puzzlelib_tpu.handlers.trainer import Trainer
 
 
@@ -595,3 +684,78 @@ class FusedTrainer(Trainer):
 
         self._ensureStep()
         self.step(data, target)
+
+
+from puzzlelib_tpu.handlers.validator import Validator
+from puzzlelib_tpu.handlers.calculator import Calculator
+
+
+class FusedValidator(Validator):
+    """Validator running forward + validation as ONE compiled program per
+    batch, with the error accumulated on device.
+
+    The eager Validator dispatches one XLA executable per module op — through
+    the TPU relay that costs ~ms per op, so validating between epochs can
+    dominate a fused training run.  This compiles the eval-mode forward and
+    the cost's traced validation (``Cost.calcValDev``) into a single program,
+    keeps per-batch errors as lazy device scalars, and reads the total back
+    once per ``validate``/``validateFromHost`` call.
+
+    Costs without ``calcValDev`` (Multi's list-valued protocol, CTC's absent
+    one) fall back to the eager per-batch path automatically."""
+
+    def __init__(self, mod, cost, onBatchFinish=None, batchsize=128):
+        super().__init__(mod, cost, onBatchFinish, batchsize)
+        self._program = None
+        self._fallback = False
+
+    def handleBatch(self, batch, idx, state):
+        if self._fallback:
+            super().handleBatch(batch, idx, state)
+            return
+
+        data, target = batch
+
+        if self._program is None:
+            self._program = _FusedEvalProgram(self.module, self.cost)
+
+        try:
+            err = self._program(data, target)
+        except NotImplementedError:
+            self._fallback = True
+            self._program = None
+            super().handleBatch(batch, idx, state)
+            return
+
+        error = state["error"]
+        # float + traced scalar stays a lazy device value: no host sync until
+        # the final division in validate/validateFromHost forces it
+        error[0] = error[0] + self.getDataSize(data) * err
+
+    def _finalize(self, err):
+        err = [float(e) for e in err] if isinstance(err, list) else float(err)
+        self.error = err
+        return err
+
+    def validateFromHost(self, data, target, macroBatchSize=10000, onMacroBatchFinish=None):
+        return self._finalize(
+            super().validateFromHost(data, target, macroBatchSize, onMacroBatchFinish))
+
+    def validate(self, data, target):
+        return self._finalize(super().validate(data, target))
+
+
+class FusedCalculator(Calculator):
+    """Calculator whose batched inference forward is one compiled program per
+    batch instead of one dispatch per module op (same host/device assembly
+    as the eager Calculator)."""
+
+    def __init__(self, mod, onBatchFinish=None, batchsize=128):
+        super().__init__(mod, onBatchFinish, batchsize)
+        self._program = None
+
+    def handleBatch(self, batch, idx, state):
+        if self._program is None:
+            self._program = _FusedEvalProgram(self.module)
+
+        self._storeBatch(_treeWrap(self._program(batch)), idx, state)

@@ -49,8 +49,9 @@ class Calculator(Handler):
         del state["devData"]
 
     def handleBatch(self, batch, idx, state):
-        outBatch = self.module(batch)
+        self._storeBatch(self.module(batch), idx, state)
 
+    def _storeBatch(self, outBatch, idx, state):
         if "devData" not in state:
             def reserveDevData(data):
                 return gpuarray.empty((state["devSize"], ) + data.shape[1:], dtype=data.dtype)

@@ -64,8 +64,7 @@ def main(epochs=300):
 
     from puzzlelib_tpu.optimizers import hooks as Hooks
     from puzzlelib_tpu.optimizers import MomentumSGD
-    from puzzlelib_tpu.handlers import Validator
-    from puzzlelib_tpu.fused import FusedTrainer
+    from puzzlelib_tpu.fused import FusedTrainer, FusedValidator
     from puzzlelib_tpu.cost import CrossEntropy
 
     data, labels = loadDigits32()
@@ -81,8 +80,13 @@ def main(epochs=300):
     optimizer.setupOn(net, useGlobalState=False)
 
     cost = CrossEntropy(maxlabels=10)
-    trainer = FusedTrainer(net, cost, optimizer, batchsize=128)
-    validator = Validator(net, cost, batchsize=128)
+    # 1500 train samples = 11 full batches: group them into ONE dispatch per
+    # epoch (lax.scan over steps); validation is one fused program per batch.
+    # NIN_STEPS_PER_DISPATCH=1 skips the scan program (CPU-oracle smoke runs:
+    # the 11-step scan compile is minutes on CPU, fine on TPU)
+    K = int(os.environ.get("NIN_STEPS_PER_DISPATCH", "11"))
+    trainer = FusedTrainer(net, cost, optimizer, batchsize=128, stepsPerDispatch=K)
+    validator = FusedValidator(net, cost, batchsize=128)
 
     for epoch in range(1, epochs + 1):
         start = time.time()

@@ -1,0 +1,126 @@
+"""Round-5 one-shot TPU measurement campaign.
+
+Same discipline as tools/campaign.py (the relay wedges for hours — make each
+window count): sections run in order, each wrapped, results appended to
+tools/campaign5_results.txt; re-runs skip sections already DONE (or failed
+twice).  Pass section names to force specific ones.
+
+Sections (VERDICT round-4 items in parentheses):
+  digitsnin        NIN at the CIFAR topology trained on real data, on chip (#6)
+  ctctrain         CTC end-to-end training demo on chip (#9)
+  vgg16-profile    per-layer attribution with the row-retry + operand fixes (#2)
+  resnet50-profile same for ResNet-50 (#2)
+  tpu-tests        the non-excluded unittester suite on the chip (#5)
+  engines-large    bf16 vs int8 serving at batch >= 1024 (#8)
+  fusedval         FusedValidator/FusedCalculator vs eager on chip (round-5 feature)
+  bench            headline JSON (driver also runs this at round end)
+
+Run: python tools/campaign5.py [sections...]
+"""
+
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "campaign5_results.txt")
+
+
+def log(line):
+    print(line, flush=True)
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+
+
+def done(section):
+    if not os.path.exists(LOG):
+        return False
+    text = open(LOG).read()
+    # two failures = a real bug, not relay flakiness; stop burning windows
+    return ("=== DONE %s" % section) in text \
+        or text.count("=== FAILED %s" % section) >= 2
+
+
+def runSection(name, fn):
+    if done(name):
+        log("# skipping %s (already done)" % name)
+        return
+
+    log("=== BEGIN %s @ %s" % (name, time.strftime("%H:%M:%S")))
+    t = time.time()
+    try:
+        fn()
+        log("=== DONE %s (%.0fs)" % (name, time.time() - t))
+    except Exception as exc:
+        log("=== FAILED %s: %s" % (name, str(exc)[:500]))
+
+
+def capture(argv, timeout=3600):
+    """Run a CLI in-subprocess, tee output into the log."""
+    r = subprocess.run([sys.executable] + argv, capture_output=True, text=True,
+                       timeout=timeout, cwd="/root/repo")
+    for ln in (r.stdout + r.stderr).splitlines():
+        if "WARNING" in ln or "experimental" in ln:
+            continue
+        log("  " + ln)
+    if r.returncode != 0:
+        raise RuntimeError("exit %d" % r.returncode)
+
+
+def main():
+    sections = sys.argv[1:] or ["digitsnin", "ctctrain", "vgg16-profile",
+                                "resnet50-profile", "tpu-tests",
+                                "engines-large", "fusedval", "nets-b128",
+                                "bench"]
+
+    # probe first: a wedged relay should fail fast, not eat the window
+    import numpy as np
+    import jax.numpy as jnp
+    t = time.time()
+    a = jnp.ones((512, 512), jnp.bfloat16)
+    np.asarray((a @ a).ravel()[:1])
+    log("# relay alive (probe %.0fs) @ %s" % (time.time() - t, time.strftime("%H:%M:%S")))
+
+    for name in sections:
+        if name == "digitsnin":
+            runSection("digitsnin", lambda: capture(["testlib/digitsnin.py", "300"]))
+        elif name == "ctctrain":
+            runSection("ctctrain", lambda: capture(["testlib/ctctrain.py", "200"]))
+        elif name == "vgg16-profile":
+            runSection("vgg16-profile", lambda: capture(
+                ["-m", "puzzlelib_tpu.benchmarks.netspeed", "--net", "vgg16",
+                 "--batch", "32", "--dtype", "bfloat16", "--profile"]))
+        elif name == "resnet50-profile":
+            runSection("resnet50-profile", lambda: capture(
+                ["-m", "puzzlelib_tpu.benchmarks.netspeed", "--net", "resnet50",
+                 "--batch", "32", "--dtype", "bfloat16", "--profile"]))
+        elif name == "tpu-tests":
+            runSection("tpu-tests", lambda: capture(
+                ["-m", "puzzlelib_tpu.unittester", "--backend", "tpu"], timeout=7200))
+        elif name == "engines-large":
+            runSection("engines-b1024", lambda: capture(
+                ["-m", "puzzlelib_tpu.benchmarks.enginespeed", "--net", "nin",
+                 "--batch", "1024", "--dtypes", "bfloat16,int8", "--many", "8"]))
+            runSection("engines-b2048", lambda: capture(
+                ["-m", "puzzlelib_tpu.benchmarks.enginespeed", "--net", "nin",
+                 "--batch", "2048", "--dtypes", "bfloat16,int8", "--many", "4"]))
+        elif name == "fusedval":
+            runSection("fusedval", lambda: capture(["tools/fusedval_drive.py"]))
+        elif name == "nets-b128":
+            # batch scaling: the b32 rows are the BASELINE config; these show
+            # where whole-net MFU lands once the early-layer lane geometry is
+            # amortized over a production-serving batch
+            runSection("vgg16-b128", lambda: capture(
+                ["-m", "puzzlelib_tpu.benchmarks.netspeed", "--net", "vgg16",
+                 "--batch", "128", "--dtype", "bfloat16", "--many", "4"]))
+            runSection("resnet50-b128", lambda: capture(
+                ["-m", "puzzlelib_tpu.benchmarks.netspeed", "--net", "resnet50",
+                 "--batch", "128", "--dtype", "bfloat16", "--many", "4"]))
+        elif name == "bench":
+            runSection("bench", lambda: capture(["bench.py"]))
+
+
+if __name__ == "__main__":
+    main()

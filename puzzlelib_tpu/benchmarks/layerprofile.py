@@ -251,8 +251,14 @@ def profileNet(net, data, stepSecs=None, reps=8, iters=2, out=print):
             # fwd + bwdData + bwdFilter each cost ~`flops`
             dirs = 1 + (1 if bwdD > 0 else 0) + (1 if bwdP > 0 else 0)
             tfs = flops * dirs / layerTotal / 1e12
-            peakPct = "%5.1f" % (tfs * 1e12 / BF16_PEAK * 100) if isBf16 else "    -"
-            tfsStr = "%8.2f" % tfs
+            if isBf16 and tfs * 1e12 > BF16_PEAK:
+                # a marginal above peak is physically impossible: the
+                # rep-differenced delta undershot the layer's true time
+                # (relay noise dominates sub-ms rows) - flag, don't report
+                tfsStr, peakPct = "   noise", "    -"
+            else:
+                peakPct = "%5.1f" % (tfs * 1e12 / BF16_PEAK * 100) if isBf16 else "    -"
+                tfsStr = "%8.2f" % tfs
         else:
             tfsStr, peakPct = "       -", "    -"
 
@@ -267,9 +273,15 @@ def profileNet(net, data, stepSecs=None, reps=8, iters=2, out=print):
         "TOTAL (sum of layers)", "", totF * 1e6, totBD * 1e6, totBP * 1e6))
 
     if stepSecs:
-        out("measured fused step: %.1f us; attributed %.1f us (%.0f%%); "
-            "remainder %.1f us (cost+optimizer+fusion deltas)" % (
-                stepSecs * 1e6, attributed * 1e6, attributed / stepSecs * 100,
-                (stepSecs - attributed) * 1e6))
+        out("measured fused step: %.1f us; sum of isolated layer chains: %.1f us "
+            "(%.0f%%)" % (stepSecs * 1e6, attributed * 1e6,
+                          attributed / stepSecs * 100))
+        out("NOTE: rows time each layer as a standalone program - an upper "
+            "bound per layer, not an additive decomposition (the fused step "
+            "fuses elementwise/pool passes into neighboring convs, so the "
+            "isolated sum exceeds the step). The additive accounting of the "
+            "fused step is the XLA-trace stage/role table "
+            "(tools/steptrace.py; docs/kernels.md 'where the milliseconds "
+            "go'), which sums to 100%% by construction.")
 
     return rows

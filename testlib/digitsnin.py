@@ -14,10 +14,15 @@ end-to-end on chip.
 
 The 1500-sample train set means an epoch is 11 steps, so the epoch count is
 scaled up (300 epochs = 3.3k steps ~ CIFAR's first 8 epochs) and the LR
-anneal points move accordingly; everything else matches the CIFAR script.
+anneal points move accordingly.  The 33x-smaller dataset also needs random
++-2px shift augmentation (host-side, per epoch): without it the run
+plateaus at 88.2% (train CE stuck at 0.46 — measured on chip 2026-08-20);
+with it the same network/recipe reaches 98.3% held-out in the same 300
+epochs (CPU-backend A/B, /tmp campaign round 5).  The network itself stays
+byte-identical to the CIFAR config.
 
 Run:  python testlib/digitsnin.py [epochs]
-Gate: held-out accuracy >= 0.92 (10-class, 297 val samples).
+Gate: held-out accuracy >= 0.95 (10-class, 297 val samples).
 """
 
 import os
@@ -29,6 +34,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 from testlib.cnncifar10nin import buildNet, standardize
+
+
+def augmentShift(data, rng, maxshift=2):
+    """Random +-maxshift px translations with edge padding (host-side numpy,
+    per epoch).  Compensates for the 33x-smaller-than-CIFAR train set; the
+    reference framework's own augmentation seam is the host-side Transformers
+    pipeline (/root/reference/Transformers/Provider.py), so host numpy is the
+    faithful place for it."""
+    n = data.shape[0]
+    out = np.empty_like(data)
+    pad = np.pad(data, ((0, 0), (0, 0), (maxshift, maxshift), (maxshift, maxshift)),
+                 mode="edge")
+    dys = rng.randint(0, 2 * maxshift + 1, size=n)
+    dxs = rng.randint(0, 2 * maxshift + 1, size=n)
+    for i in range(n):
+        out[i] = pad[i, :, dys[i]:dys[i] + 32, dxs[i]:dxs[i] + 32]
+    return out
 
 
 def loadDigits32():
@@ -88,9 +110,11 @@ def main(epochs=300):
     trainer = FusedTrainer(net, cost, optimizer, batchsize=128, stepsPerDispatch=K)
     validator = FusedValidator(net, cost, batchsize=128)
 
+    augrng = np.random.RandomState(7)
     for epoch in range(1, epochs + 1):
         start = time.time()
-        trainer.trainFromHost(data[:split], labels[:split], macroBatchSize=split)
+        trainer.trainFromHost(augmentShift(data[:split], augrng), labels[:split],
+                              macroBatchSize=split)
 
         valerror = validator.validateFromHost(data[split:], labels[split:],
                                               macroBatchSize=len(data) - split)
@@ -104,7 +128,7 @@ def main(epochs=300):
 
     accuracy = 1.0 - valerror
     print("Final held-out accuracy: %.4f" % accuracy)
-    assert accuracy >= 0.92, "NIN did not converge: %.4f" % accuracy
+    assert accuracy >= 0.95, "NIN did not converge: %.4f" % accuracy
 
 
 if __name__ == "__main__":

@@ -247,7 +247,11 @@ def profileNet(net, data, stepSecs=None, reps=8, iters=2, out=print):
 
         flops = _flopsOf(mod, inshape, outshape)
         layerTotal = tF + bwdD + bwdP
-        if flops:
+        if flops and layerTotal <= 0.0:
+            # every marginal measured <= 0: the layer is below the relay's
+            # rep-differencing noise floor
+            tfsStr, peakPct = "   noise", "    -"
+        elif flops:
             # fwd + bwdData + bwdFilter each cost ~`flops`
             dirs = 1 + (1 if bwdD > 0 else 0) + (1 if bwdP > 0 else 0)
             tfs = flops * dirs / layerTotal / 1e12
@@ -282,6 +286,6 @@ def profileNet(net, data, stepSecs=None, reps=8, iters=2, out=print):
             "isolated sum exceeds the step). The additive accounting of the "
             "fused step is the XLA-trace stage/role table "
             "(tools/steptrace.py; docs/kernels.md 'where the milliseconds "
-            "go'), which sums to 100%% by construction.")
+            "go'), which sums to 100% by construction.")
 
     return rows

@@ -326,3 +326,139 @@ def testMapLRN():
     grad = np.random.randn(*data.shape).astype(np.float32)
     mod.backward(gpuarray.to_gpu(grad))
     assert mod.grad.shape == data.shape
+
+
+def testNoiseInjector():
+    from puzzlelib_tpu.modules import NoiseInjector
+
+    np.random.seed(14)
+    data = np.random.randn(4, 6).astype(np.float32)
+
+    # additive uniform noise: out - in must equal the recorded noise buffer,
+    # bounded by the uniform range (reference /root/reference/Modules/NoiseInjector.py)
+    mod = NoiseInjector(mode="add", noisetype="uniform", params=(-0.5, 0.5))
+    out = mod(gpuarray.to_gpu(data))
+    noise = out.get() - data
+    assert np.allclose(noise, mod.rands.get(), atol=1e-6)
+    assert noise.min() >= -0.5 - 1e-6 and noise.max() <= 0.5 + 1e-6
+    assert not np.allclose(noise, 0.0)
+
+    # additive backward: gradient passes through unchanged
+    grad = np.random.randn(4, 6).astype(np.float32)
+    mod.backward(gpuarray.to_gpu(grad))
+    assert np.allclose(mod.grad.get(), grad, atol=1e-6)
+
+    # multiplicative gaussian: out = in * rands; backward scales by the
+    # SAME noise realization
+    mod = NoiseInjector(mode="mul", noisetype="gaussian", params=(1.0, 0.1))
+    out = mod(gpuarray.to_gpu(data))
+    rands = mod.rands.get()
+    assert np.allclose(out.get(), data * rands, atol=1e-5)
+
+    mod.backward(gpuarray.to_gpu(grad))
+    assert np.allclose(mod.grad.get(), grad * rands, atol=1e-5)
+
+    # eval mode: identity passthrough, no noise drawn
+    mod = NoiseInjector(mode="add")
+    mod.evalMode()
+    out = mod(gpuarray.to_gpu(data))
+    assert np.allclose(out.get(), data, atol=0)
+    assert mod.rands is None
+
+
+def testPenalty():
+    from puzzlelib_tpu.modules import Penalty
+
+    np.random.seed(15)
+    batch = 10
+    data = np.random.randn(batch, 8).astype(np.float32)
+    grad = np.random.randn(batch, 8).astype(np.float32)
+
+    # forward is identity for both modes
+    # l1: grad - w/batch * sign(data)   (reference Modules/Penalty.py:33-36,
+    # sign(0) = +1 per the kernel's where(data >= 0))
+    weight = 1e-2
+    mod = Penalty(mode="l1", weight=weight)
+    out = mod(gpuarray.to_gpu(data))
+    assert np.allclose(out.get(), data, atol=0)
+
+    mod.backward(gpuarray.to_gpu(grad))
+    expected = grad - weight / batch * np.where(data >= 0, 1.0, -1.0).astype(np.float32)
+    assert np.allclose(mod.grad.get(), expected, atol=1e-6)
+
+    # l2: grad - w/batch * data          (reference Modules/Penalty.py:38-41)
+    mod = Penalty(mode="l2", weight=weight)
+    mod(gpuarray.to_gpu(data))
+    mod.backward(gpuarray.to_gpu(grad))
+    assert np.allclose(mod.grad.get(), grad - weight / batch * data, atol=1e-6)
+
+
+def testGlue():
+    from puzzlelib_tpu.modules import Glue, Linear
+    from puzzlelib_tpu.modules.module import ModuleError
+
+    np.random.seed(16)
+    data = np.random.randn(3, 5).astype(np.float32)
+
+    # hooks see the raw data plus the module dictionary and drive any
+    # modules themselves (reference Modules/Glue.py contract)
+    inner = Linear(5, 4)
+
+    def fwdGlue(d, modules):
+        return modules["lin"](d)
+
+    def bwdGlue(g, modules):
+        modules["lin"].backward(g)
+        return modules["lin"].grad
+
+    mod = Glue(modules={"lin": inner}, fwdGlue=fwdGlue, bwdGlue=bwdGlue,
+               fwdShapeGlue=lambda s: (s[0], 4), bwdShapeGlue=lambda s: (s[0], 5))
+
+    out = mod(gpuarray.to_gpu(data))
+    expected = data @ inner.W.get() + inner.b.get()[None]
+    assert np.allclose(out.get(), expected, atol=1e-5)
+
+    grad = np.random.randn(3, 4).astype(np.float32)
+    mod.backward(gpuarray.to_gpu(grad))
+    assert np.allclose(mod.grad.get(), grad @ inner.W.get().T, atol=1e-5)
+
+    assert mod.dataShapeFrom((3, 5)) == (3, 4)
+    assert mod.gradShapeFrom((3, 4)) == (3, 5)
+
+    # missing shape hooks raise ModuleError, like the reference
+    bare = Glue(fwdGlue=lambda d, m: d, bwdGlue=lambda g, m: g)
+    with pytest.raises(ModuleError):
+        bare.dataShapeFrom((3, 5))
+    with pytest.raises(ModuleError):
+        bare.gradShapeFrom((3, 5))
+
+
+def testToList():
+    from puzzlelib_tpu.modules import ToList
+
+    np.random.seed(17)
+    a = np.random.randn(2, 3).astype(np.float32)
+    b = np.random.randn(2, 4).astype(np.float32)
+    c = np.random.randn(2, 5).astype(np.float32)
+
+    mod = ToList()
+    nested = [gpuarray.to_gpu(a), [gpuarray.to_gpu(b), [gpuarray.to_gpu(c)]]]
+    out = mod(nested)
+
+    # forward flattens depth-first into one list
+    assert isinstance(out, list) and len(out) == 3
+    assert np.allclose(out[0].get(), a) and np.allclose(out[1].get(), b) \
+        and np.allclose(out[2].get(), c)
+
+    # backward re-nests the flat gradient list to mirror the input structure
+    ga, gb, gc = (np.random.randn(*x.shape).astype(np.float32) for x in (a, b, c))
+    mod.backward([gpuarray.to_gpu(ga), gpuarray.to_gpu(gb), gpuarray.to_gpu(gc)])
+
+    grad = mod.grad
+    assert np.allclose(grad[0].get(), ga)
+    assert np.allclose(grad[1][0].get(), gb)
+    assert np.allclose(grad[1][1][0].get(), gc)
+
+    # flat shape accounting matches the leaf order
+    shapes = mod.dataShapeFrom([(2, 3), [(2, 4), [(2, 5)]]])
+    assert shapes == [(2, 3), (2, 4), (2, 5)]

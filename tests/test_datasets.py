@@ -139,3 +139,54 @@ def testIMDBLoader(tmp_path):
     assert data.shape == (8, 12)
     assert lbls.shape == (8, )
     assert vocab.shape == (50, )
+
+
+def testSmallNorbLoader(tmp_path):
+    import struct
+    from puzzlelib_tpu.datasets import SmallNorbLoader
+
+    rng = np.random.RandomState(5)
+
+    def writeMat(name, magic, arr, ndim):
+        dims = arr.shape[:ndim]
+        with open(str(tmp_path / name), "wb") as f:
+            f.write(struct.pack("<ii", magic, ndim))
+            padded = tuple(dims) + (1, ) * max(0, 3 - ndim)
+            f.write(struct.pack("<" + "i" * len(padded), *padded))
+            f.write(arr.tobytes())
+
+    # tiny NORB-format fixtures: 3 stereo samples of 8x8 per split
+    # (binary layout per the reference loader's magic/dims header,
+    # /root/reference/Datasets/SmallNorbLoader.py)
+    loader = SmallNorbLoader(onSample=lambda s: s,
+                             sampleInfo=lambda: (np.float32, (8, 8)))
+
+    for dataName, lblName, infoName in ((loader.traindata, loader.trainlabels, loader.traininfo),
+                                        (loader.testdata, loader.testlabels, loader.testinfo)):
+        data = rng.randint(0, 255, size=(3, 2, 8, 8)).astype(np.uint8)
+        writeMat(dataName, 0x1E3D4C55, data, 4)
+        writeMat(lblName, 0x1E3D4C54, rng.randint(0, 5, size=(3, )).astype(np.uint32), 1)
+        info = np.stack([np.arange(3, dtype=np.uint32),          # instance
+                         rng.randint(0, 9, size=3).astype(np.uint32),
+                         (2 * rng.randint(0, 18, size=3)).astype(np.uint32),
+                         rng.randint(0, 6, size=3).astype(np.uint32)], axis=1)
+        writeMat(infoName, 0x1E3D4C54, info, 2)
+
+    data, labels, info = loader.load(path=str(tmp_path), log=False)
+
+    assert data.shape == (6, 2, 8, 8)           # train + test stacked
+    assert labels.shape == (6, )
+    assert info.shape == (6, 4)
+    assert (np.asarray(labels) < 5).all()
+
+    # second load comes from the HDF5 cache (no re-parse)
+    assert (tmp_path / "smallnorb.hdf").exists()
+    data2, _, _ = SmallNorbLoader(onSample=lambda s: s,
+                                  sampleInfo=lambda: (np.float32, (8, 8))).load(
+        path=str(tmp_path), log=False)
+    assert np.allclose(np.asarray(data), np.asarray(data2), atol=0)
+
+    # corrupted magic is rejected
+    writeMat("bad.mat", 0x12345678, np.zeros((1, 1, 1), np.uint8), 3)
+    with pytest.raises(ValueError):
+        SmallNorbLoader._readMat(str(tmp_path / "bad.mat"), 0x1E3D4C55)

@@ -73,7 +73,7 @@ def main():
     sections = sys.argv[1:] or ["digitsnin", "ctctrain", "vgg16-profile",
                                 "resnet50-profile", "tpu-tests",
                                 "engines-large", "fusedval", "nets-b128",
-                                "bench"]
+                                "bench", "vgg16-profile2"]
 
     # probe first: a wedged relay should fail fast, not eat the window
     import numpy as np
@@ -120,6 +120,13 @@ def main():
                  "--batch", "128", "--dtype", "bfloat16", "--many", "4"]))
         elif name == "bench":
             runSection("bench", lambda: capture(["bench.py"]))
+        elif name == "vgg16-profile2":
+            # re-capture with the round-5 layerprofile fixes (zero-marginal
+            # guard, noise-flagged rows, honest isolated-vs-fused footer);
+            # the first vgg16-profile ran the pre-fix report code
+            runSection("vgg16-profile2", lambda: capture(
+                ["-m", "puzzlelib_tpu.benchmarks.netspeed", "--net", "vgg16",
+                 "--batch", "32", "--dtype", "bfloat16", "--profile"]))
 
 
 if __name__ == "__main__":

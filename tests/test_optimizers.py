@@ -196,3 +196,55 @@ def testOptimizerStateSaveLoad(tmp_path):
     for name in opt.states:
         for entity in opt.states[name]:
             assert np.allclose(opt2.states[name][entity].get(), opt.states[name][entity].get())
+
+
+def testCustomUpdaterVariable():
+    """A Variable(updater=...) is excluded from framework-managed state and
+    its callable runs once per optimizer.update with the global learn rate
+    (reference /root/reference/Optimizers/Optimizer.py:154-156)."""
+    from puzzlelib_tpu.optimizers import SGD
+
+    np.random.seed(40)
+    w = np.random.randn(4, 3).astype(np.float32)
+    g = np.random.randn(4, 3).astype(np.float32)
+
+    calls = []
+
+    def myUpdater(var, learnRate):
+        calls.append(learnRate)
+        var.data.set(var.data.get() - 0.5 * learnRate * np.ones_like(w))
+
+    class _TwoVarModule:
+        def __init__(self):
+            self.vars = {
+                "w": Variable(gpuarray.to_gpu(w), grad=gpuarray.to_gpu(g)),
+                "c": Variable(gpuarray.to_gpu(w.copy()), updater=myUpdater),
+            }
+
+        def getVarTable(self):
+            return {self.vars["w"]: ["w"], self.vars["c"]: ["c"]}
+
+        def getVar(self, name):
+            return self.vars[name]
+
+        def setVar(self, name, var):
+            self.vars[name] = var
+
+    mod = _TwoVarModule()
+    opt = SGD(learnRate=0.1)
+    opt.setupOn(mod, useGlobalState=False)
+
+    # the custom var owns no framework state and no grad buffer
+    assert list(opt.states.keys()) == ["w"]
+    assert opt.customVars == ["c"]
+    assert not hasattr(mod.getVar("c"), "grad")
+
+    for _ in range(2):
+        mod.getVar("w").grad.set(g)
+        opt.update()
+
+    assert calls == [0.1, 0.1]
+    assert np.allclose(mod.getVar("c").data.get(), w - 2 * 0.5 * 0.1, atol=1e-6)
+    # the managed var still took the plain SGD steps (w += lr*g: costs emit
+    # descent-signed gradients, same convention as the reference)
+    assert np.allclose(mod.getVar("w").data.get(), w + 2 * 0.1 * g, atol=1e-5)

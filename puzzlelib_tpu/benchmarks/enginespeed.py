@@ -28,8 +28,6 @@ from puzzlelib_tpu.benchmarks.netspeed import buildNet
 
 def measure(engine, devBatch, syncRead, k, iters):
     """(eager secs/batch, many-marginal secs/batch) for one engine."""
-    import jax.numpy as jnp
-
     out = engine(devBatch)                                   # compile eager
     np.asarray(out.jax.ravel()[:1])
 
@@ -39,11 +37,12 @@ def measure(engine, devBatch, syncRead, k, iters):
     np.asarray(out.jax.ravel()[:1])                          # honest fence
     eager = (time.perf_counter() - start) / iters
 
-    # grouped: stack on device (host uploads through the relay take minutes)
-    stacked = jnp.tile(devBatch.jax[None], (2 * k, ) + (1, ) * devBatch.ndim)
-
+    # grouped: repeat the resident batch K times inside one program —
+    # materializing a (2K, batch, ...) stack OOMs HBM at serving batch sizes
+    # (NIN b1024 many=8 = ~10 GB); manyRepeat keeps the batch 1x and defeats
+    # loop hoisting with opaque per-step deltas
     def run(steps):
-        out = engine.many(stacked[:steps], steps)
+        out = engine.manyRepeat(devBatch, steps)
         np.asarray(out.jax.ravel()[:1])
 
     run(k)                                                   # compile

@@ -69,6 +69,42 @@ class Engine(Module):
 
         return gpuarray.GPUArray(fn(arr))
 
+    def manyRepeat(self, batch, steps):
+        """Run the SAME batch ``steps`` times in one dispatch -> (steps,
+        *outshape).
+
+        Memory-safe twin of :meth:`many` for benchmarking and smoke runs: a
+        materialized (K, *inshape) stack of a large batch OOMs HBM (measured:
+        NIN at batch 1024, many=8 -> ~10 GB for the stack alone), while here
+        the batch stays 1x and each scan step adds an opaque per-step zero
+        delta — the deltas ride as a traced operand, so XLA cannot prove the
+        steps identical and hoist the call out of the loop (the same
+        CSE-defeating discipline as benchmarks/timing.py).
+        """
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        arr = batch.jax if hasattr(batch, "jax") else batch
+        k = int(steps)
+
+        key = ("repeat", k) + tuple(arr.shape)
+        fn = self._manyCache.get(key)
+
+        if fn is None:
+            @jax.jit
+            def fn(x, deltas):
+                def body(_, d):
+                    return None, self.exported.call(x + d)
+
+                _, out = lax.scan(body, None, deltas)
+                return out
+
+            self._manyCache[key] = fn
+
+        deltas = jnp.zeros((k, ) + (1, ) * arr.ndim, arr.dtype)
+        return gpuarray.GPUArray(fn(arr, deltas))
+
     def updateGrad(self, grad):
         raise ModuleError("Engine is inference-only")
 

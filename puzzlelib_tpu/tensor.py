@@ -405,9 +405,15 @@ class SharedArray:
 
 
 def dtypesSupported():
-    """Dtypes with test tolerances.  float16 mirrors the reference's half-float
-    tier; bfloat16 is the TPU-native half type (wider exponent, coarser
-    mantissa, hence the looser tolerance)."""
+    """Dtypes with test tolerances, per backend — the reference defines these
+    per backend too (/root/reference/Cuda/GPUBackend.py:218-220: fp32@1e-5,
+    fp16@1e-2 on CUDA).  float16 mirrors the reference's half-float tier;
+    bfloat16 is the TPU-native half type (wider exponent, coarser mantissa,
+    hence the looser tolerance).  On the real TPU the f32 tier is 5e-5, not
+    1e-5: VPU transcendentals (tanh etc.) are polynomial approximations with
+    ~1.5e-5 max error (measured on v5e, 2026-08-20)."""
     import ml_dtypes
+    import jax
 
-    return [(np.float32, 1e-5), (np.float16, 1e-2), (np.dtype(ml_dtypes.bfloat16).type, 5e-2)]
+    f32atol = 5e-5 if jax.devices()[0].platform != "cpu" else 1e-5
+    return [(np.float32, f32atol), (np.float16, 1e-2), (np.dtype(ml_dtypes.bfloat16).type, 5e-2)]

@@ -22,7 +22,12 @@ def testFlashMatchesXla(causal):
     ref = attention(q, k, v, causal=causal)
     out = flashAttention(q, k, v, causal=causal, blockQ=32, blockK=16, interpret=True)
 
-    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # on the real chip both paths route f32 matmuls through the MXU's bf16x3
+    # synthesis with different reduction orders (measured diff ~5e-4 on v5e);
+    # on CPU both are IEEE f32
+    import jax
+    atol = 1e-5 if jax.devices()[0].platform == "cpu" else 2e-3
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=atol)
 
 
 @pytest.mark.parametrize("causal", [False, True])
@@ -142,8 +147,12 @@ def testAutoDispatchResolution():
     try:
         Config.attentionAlgo = "auto"
 
-        # CPU platform: always XLA regardless of sequence length
-        assert attnops.resolveAlgo(4, 8, 4096, 64, False, "bfloat16") == "xla"
+        # CPU platform: always XLA (Mosaic is interpret-only there); on a
+        # real TPU the long-sequence bf16 structural prior picks flash
+        import jax
+        onCpu = jax.devices()[0].platform == "cpu"
+        expected = "xla" if onCpu else "flash"
+        assert attnops.resolveAlgo(4, 8, 4096, 64, False, "bfloat16") == expected
 
         # a measured winner overrides the prior (platform check fires first on
         # CPU, so exercise the table through a fake non-cpu path is not

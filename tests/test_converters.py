@@ -285,3 +285,29 @@ def testEngineMany(tmp_path):
     # steps= runs a prefix of the stack
     prefix = engine.many(gpuarray.to_gpu(stacked), steps=3).get()
     assert prefix.shape == (3, 2, 4) and np.allclose(prefix, grouped[:3], atol=1e-6)
+
+
+def testEngineManyRepeat(tmp_path):
+    """Engine.manyRepeat(batch, K) == K eager calls on the same batch, with
+    the batch resident ONCE (no (K, batch, ...) stack in HBM)."""
+    import numpy as np
+    from puzzlelib_tpu.backend import gpuarray
+    from puzzlelib_tpu.containers import Sequential
+    from puzzlelib_tpu.modules import Linear, Activation, relu
+    from puzzlelib_tpu.converter.engine import buildEngine, Engine
+
+    np.random.seed(21)
+    net = Sequential(name="repnet")
+    net.append(Linear(6, 12)).append(Activation(relu)).append(Linear(12, 4))
+
+    buildEngine(net, (3, 6), str(tmp_path), returnEngine=False)
+    engine = Engine(str(tmp_path / "repnet.float32.engine"))
+
+    batch = np.random.randn(3, 6).astype(np.float32)
+    single = engine(gpuarray.to_gpu(batch)).get()
+    engine.reset()
+
+    grouped = engine.manyRepeat(gpuarray.to_gpu(batch), steps=4).get()
+    assert grouped.shape == (4, 3, 4)
+    for i in range(4):
+        assert np.allclose(grouped[i], single, atol=1e-5)

@@ -70,10 +70,13 @@ def capture(argv, timeout=3600):
 
 
 def main():
+    # tpu-tests LAST: it is the longest section (up to 2 h) and the one that
+    # wedged the relay mid-suite on 2026-08-20 — everything cheap must land
+    # before it gets another window
     sections = sys.argv[1:] or ["digitsnin", "ctctrain", "vgg16-profile",
-                                "resnet50-profile", "tpu-tests",
+                                "resnet50-profile",
                                 "engines-large", "fusedval", "nets-b128",
-                                "bench", "vgg16-profile2"]
+                                "bench", "vgg16-profile2", "tpu-tests"]
 
     # probe first: a wedged relay should fail fast, not eat the window
     import numpy as np

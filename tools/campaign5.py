@@ -100,8 +100,12 @@ def main():
                 ["-m", "puzzlelib_tpu.benchmarks.netspeed", "--net", "resnet50",
                  "--batch", "32", "--dtype", "bfloat16", "--profile"]))
         elif name == "tpu-tests":
+            # 1 h bound, not 2: the retry runs with the compile cache warm
+            # (the first pass spent most of its hour compiling before the
+            # relay wedged), and the chip must be free for the end-of-round
+            # bench run
             runSection("tpu-tests", lambda: capture(
-                ["-m", "puzzlelib_tpu.unittester", "--backend", "tpu"], timeout=7200))
+                ["-m", "puzzlelib_tpu.unittester", "--backend", "tpu"], timeout=3600))
         elif name == "engines-large":
             runSection("engines-b1024", lambda: capture(
                 ["-m", "puzzlelib_tpu.benchmarks.enginespeed", "--net", "nin",

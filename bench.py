@@ -182,7 +182,16 @@ def runPhase(name, timeout, **kwargs):
     return its emitted dict or None. The parent stays jax-free so it can never
     hang — only a child can, and a child is always killed on schedule."""
     args = ", ".join("%s=%r" % kv for kv in sorted(kwargs.items()))
-    code = "import bench; bench.phase%s(%s)" % (name[0].upper() + name[1:], args)
+    # the child carries its OWN deadline 30 s inside the parent's: a clean
+    # sys.exit tears the PJRT client down properly, while the parent-side
+    # SIGKILL fallback (subprocess timeout) can leave the single-tenant
+    # relay wedged mid-RPC (observed 2026-08-20: wedge right after a killed
+    # lenet phase)
+    code = ("import signal, sys\n"
+            "signal.signal(signal.SIGALRM, lambda *a: sys.exit(3))\n"
+            "signal.alarm(%d)\n"
+            "import bench; bench.phase%s(%s)"
+            % (max(timeout - 30, 30), name[0].upper() + name[1:], args))
     try:
         r = subprocess.run([sys.executable, "-c", code], cwd=REPOROOT,
                            timeout=timeout, capture_output=True, text=True)

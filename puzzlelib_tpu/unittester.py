@@ -81,6 +81,13 @@ def main(extraArgs=None):
     skips = ["--ignore=%s" % os.path.join(testdir, name)
              for name in sorted(EXCLUDE.get(backend, ()))]
 
+    if backend != "cpu":
+        # a wedged TPU relay fails every remaining test with
+        # FAILED_PRECONDITION (observed 2026-08-20: 75 environmental failures
+        # after a mid-suite wedge) - bail fast and leave the window to a rerun
+        # instead of logging an hour of the same backend error
+        args = ["--maxfail=12"] + args
+
     code = pytest.main([testdir, "-q"] + skips + args)
 
     # retry tier: stochastic tolerances get `threshold` chances, matching the

@@ -126,6 +126,10 @@ def weightDecayKer(grad, param, rate, stream=None):
     grad._write(ew.weightDecay(grad.jax, param.jax, rate))
 
 
+def gradClipKer(grad, maxnorm, stream=None):
+    grad._write(ew.gradClipNorm(grad.jax, maxnorm))
+
+
 def l1penaltyKer(outgrad, ingrad, data, a, stream=None):
     outgrad._write(ew.l1penalty(ingrad.jax, data.jax, a))
 

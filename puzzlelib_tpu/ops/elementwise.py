@@ -175,6 +175,13 @@ def weightDecay(grad, param, rate):
     return grad - jnp.asarray(rate, grad.dtype) * param
 
 
+@jax.jit
+def gradClipNorm(grad, maxnorm):
+    norm = jnp.sqrt(jnp.sum(jnp.square(grad.astype(jnp.float32))))
+    scale = jnp.minimum(1.0, jnp.asarray(maxnorm, jnp.float32) / jnp.maximum(norm, 1e-12))
+    return grad * scale.astype(grad.dtype)
+
+
 # -- fused optimizer steps (all return updated tensors; all ADD the step) ----
 
 @jax.jit

@@ -10,4 +10,4 @@ from puzzlelib_tpu.optimizers.rmspropgraves import RMSPropGraves
 from puzzlelib_tpu.optimizers.sgd import SGD
 from puzzlelib_tpu.optimizers.smorms3 import SMORMS3
 from puzzlelib_tpu.optimizers.optimizer import Optimizer
-from puzzlelib_tpu.optimizers.hooks import Hook, WeightDecay
+from puzzlelib_tpu.optimizers.hooks import Hook, WeightDecay, GradClip

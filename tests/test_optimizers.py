@@ -176,6 +176,35 @@ def testWeightDecayHook():
     assert np.allclose(mod.getVar("w").data.get(), 0.95, atol=1e-6)
 
 
+def testGradClipHook():
+    from puzzlelib_tpu.optimizers import SGD, GradClip
+
+    w = np.zeros((4, ), np.float32)
+    g = np.full((4, ), 3.0, np.float32)        # |g| = 6.0
+
+    mod = _OneVarModule(w, g)
+    opt = SGD(learnRate=1.0)
+    opt.addHook(GradClip(1.5))
+    opt.setupOn(mod, useGlobalState=False)
+
+    opt.update()
+
+    # grad rescaled to norm 1.5 -> each element 3 * (1.5/6) = 0.75; param += lr*grad
+    assert np.allclose(mod.getVar("w").data.get(), 0.75, atol=1e-6)
+
+    # below the threshold the gradient passes through untouched
+    w2 = np.zeros((4, ), np.float32)
+    g2 = np.full((4, ), 0.5, np.float32)       # |g| = 1.0 < 1.5
+
+    mod2 = _OneVarModule(w2, g2)
+    opt2 = SGD(learnRate=1.0)
+    opt2.addHook(GradClip(1.5))
+    opt2.setupOn(mod2, useGlobalState=False)
+
+    opt2.update()
+    assert np.allclose(mod2.getVar("w").data.get(), 0.5, atol=1e-6)
+
+
 def testOptimizerStateSaveLoad(tmp_path):
     from puzzlelib_tpu.optimizers import Adam
 

@@ -288,6 +288,51 @@ def testFusedTrainerStepsPerDispatch():
     assert opt.t == 6 * 5, opt.t
 
 
+def testFusedManyMatchesSequentialConvDropoutHooks():
+    """many() equivalence with the full digitsnin ingredient list: Conv2D,
+    MaxPool, Dropout (p=0 so the mask plumbing runs but stays deterministic),
+    MomentumSGD + GradClip + WeightDecay hooks, useGlobalState=False."""
+    from puzzlelib_tpu.fused import FusedStep
+    from puzzlelib_tpu.modules import Conv2D, MaxPool2D, Dropout
+    from puzzlelib_tpu.optimizers import WeightDecay, GradClip
+
+    def build():
+        np.random.seed(31)
+        seq = Sequential()
+        seq.append(Conv2D(3, 8, 3, pad=1, initscheme="gaussian", wscale=0.05))
+        seq.append(Activation(relu))
+        seq.append(Dropout(p=0.0))
+        seq.append(MaxPool2D(2, 2))
+        seq.append(Conv2D(8, 10, 1, initscheme="gaussian", wscale=0.05))
+        seq.append(MaxPool2D(4, 4))
+        seq.append(Flatten())
+        return seq
+
+    def make():
+        net = build()
+        opt = MomentumSGD(learnRate=0.1, momRate=0.9)
+        opt.addHook(GradClip(1.0))
+        opt.addHook(WeightDecay(0.0001))
+        opt.setupOn(net, useGlobalState=False)
+        return net, FusedStep(net, CrossEntropy(maxlabels=10), opt)
+
+    K, b = 4, 8
+    np.random.seed(42)
+    data = np.random.randn(K * b, 3, 8, 8).astype(np.float32)
+    target = np.random.randint(0, 10, size=K * b).astype(np.int32)
+
+    netA, stepA = make()
+    for k in range(K):
+        stepA(data[k * b:(k + 1) * b], target[k * b:(k + 1) * b])
+
+    netB, stepB = make()
+    stepB.many(data, target, steps=K)
+
+    for idx in (0, 4):
+        assert np.allclose(netA[idx].W.get(), netB[idx].W.get(), atol=1e-6), \
+            "many() diverged from sequential steps at module %d" % idx
+
+
 def testFusedLocalStateMatchesGlobalState():
     """Per-var optimizer state (the TPU-preferred fused mode: no SharedArray
     flat buffer, no per-step weight relayouts) must be numerically identical

@@ -17,9 +17,19 @@ scaled up (300 epochs = 3.3k steps ~ CIFAR's first 8 epochs) and the LR
 anneal points move accordingly.  The 33x-smaller dataset also needs random
 +-2px shift augmentation (host-side, per epoch): without it the run
 plateaus at 88.2% (train CE stuck at 0.46 — measured on chip 2026-08-20);
-with it the same network/recipe reaches 98.3% held-out in the same 300
-epochs (CPU-backend A/B, /tmp campaign round 5).  The network itself stays
+with it the same network/recipe reached 98.3% held-out in 300 epochs
+(on-chip A/B at stepsPerDispatch=1).  The network itself stays
 byte-identical to the CIFAR config.
+
+Stability: at 11 steps/epoch the CIFAR constants (LR 0.1, momentum 0.9) sit
+on the edge of divergence — with augmentation resampling the data each
+epoch, some RNG trajectories collapse to a dead-ReLU net (train CE pinned
+at log(10); reproduced deterministically on chip 2026-08-20, while the
+stepsPerDispatch=1 trajectory of the same recipe converged).  Two standard
+stabilizers make the run trajectory-robust without touching the network or
+the peak recipe: a linear LR warmup over the first 30 epochs, and
+per-variable gradient-norm clipping (``GradClip(1.0)``, this framework's
+hook extension).
 
 Run:  python testlib/digitsnin.py [epochs]
 Gate: held-out accuracy >= 0.95 (10-class, 297 val samples).
@@ -98,6 +108,7 @@ def main(epochs=300):
     net = buildNet()
 
     optimizer = MomentumSGD(learnRate=0.1, momRate=0.9)
+    optimizer.addHook(Hooks.GradClip(1.0))        # clip raw grads, then decay
     optimizer.addHook(Hooks.WeightDecay(0.0001))
     optimizer.setupOn(net, useGlobalState=False)
 
@@ -110,9 +121,15 @@ def main(epochs=300):
     trainer = FusedTrainer(net, cost, optimizer, batchsize=128, stepsPerDispatch=K)
     validator = FusedValidator(net, cost, batchsize=128)
 
+    warmupEpochs = 30
     augrng = np.random.RandomState(7)
     for epoch in range(1, epochs + 1):
         start = time.time()
+        # linear warmup to the CIFAR peak LR, x0.1 anneals at 200/250 as in
+        # the CIFAR recipe; learnRate is a traced hyper of the fused step, so
+        # the schedule costs no recompile
+        lr = 0.1 * min(1.0, epoch / float(warmupEpochs))
+        optimizer.learnRate = lr * (0.1 if epoch > 200 else 1.0) * (0.1 if epoch > 250 else 1.0)
         trainer.trainFromHost(augmentShift(data[:split], augrng), labels[:split],
                               macroBatchSize=split)
 
@@ -123,8 +140,7 @@ def main(epochs=300):
               flush=True)
 
         if epoch in (200, 250):
-            optimizer.learnRate *= 0.1
-            print("Lowered learn rate: %s" % optimizer.learnRate, flush=True)
+            print("Annealing learn rate from next epoch", flush=True)
 
     accuracy = 1.0 - valerror
     print("Final held-out accuracy: %.4f" % accuracy)

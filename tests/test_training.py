@@ -328,8 +328,10 @@ def testFusedManyMatchesSequentialConvDropoutHooks():
     netB, stepB = make()
     stepB.many(data, target, steps=K)
 
+    import jax
+    atol = 1e-6 if jax.devices()[0].platform == "cpu" else 1e-5
     for idx in (0, 4):
-        assert np.allclose(netA[idx].W.get(), netB[idx].W.get(), atol=1e-6), \
+        assert np.allclose(netA[idx].W.get(), netB[idx].W.get(), atol=atol), \
             "many() diverged from sequential steps at module %d" % idx
 
 

@@ -350,7 +350,8 @@ def main():
             }
             watchdog.emit(record)
 
-    eager = runPhase("eager", timeout=360, batch=batch)
+    eager = runPhase("eager", timeout=int(os.environ.get("BENCH_EAGER_TIMEOUT", "360")),
+                     batch=batch)
     if eager is not None:
         record["vs_baseline"] = round(eager["eager_sec"] / fusedSec, 2)
         watchdog.emit(record)

@@ -81,7 +81,7 @@ def main():
                                 "vgg16-profile", "resnet50-profile",
                                 "engines-large", "fusedval", "nets-b128",
                                 "bench", "vgg16-profile2", "digitsnin2",
-                                "benchwarm", "tpu-tests", "tpu-tests2"]
+                                "benchwarm", "eagerwarm", "tpu-tests", "tpu-tests2"]
 
     # probe first: a wedged relay should fail fast, not eat the window
     import numpy as np
@@ -151,6 +151,15 @@ def main():
             # steps/epoch (CPU and TPU both reproduce a dead-ReLU collapse on
             # some trajectories; the same recipe converged to 98.3% on others)
             runSection("digitsnin2", lambda: capture(["testlib/digitsnin.py", "300"]))
+        elif name == "eagerwarm":
+            # the eager per-op baseline needs ~40 executables compiled through
+            # the relay; two 360 s attempts have not gotten through them all,
+            # so vs_baseline is still 0.0 — one long dedicated pass fills the
+            # compile cache and records the ratio
+            def eagerLong():
+                os.environ["BENCH_EAGER_TIMEOUT"] = "1500"
+                capture(["bench.py"], timeout=3300)
+            runSection("eagerwarm", eagerLong)
         elif name == "benchwarm":
             # one more bench pass so the driver's end-of-round bench.py run
             # (cold process, 600 s/phase) finds every program — including the

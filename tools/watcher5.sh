@@ -4,7 +4,7 @@
 # once every section is DONE (or failed twice) in tools/campaign5_results.txt.
 cd /root/repo
 
-ALL_SECTIONS="digitsnin ctctrain vgg16-profile resnet50-profile tpu-tests engines-b1024 engines-b2048 fusedval vgg16-b128 resnet50-b128 bench vgg16-profile2 digitsnin2 benchwarm tpu-tests2"
+ALL_SECTIONS="digitsnin ctctrain vgg16-profile resnet50-profile tpu-tests engines-b1024 engines-b2048 fusedval vgg16-b128 resnet50-b128 bench vgg16-profile2 digitsnin2 benchwarm eagerwarm tpu-tests2"
 
 all_done() {
     [ -f tools/campaign5_results.txt ] || return 1
